@@ -1,0 +1,71 @@
+"""Batched JAX preprocessing twin — whole batches from raw waveform to encoder input on TPU.
+
+This is the device-tensor mirror of the NumPy oracle in this package, playing the role of the
+reference's ``torchproc`` (src/mpcg_wav2vec/signalproc/torchproc.py:1-129) but jit-compiled and
+fused end-to-end by XLA: polyphase resample (dilated conv), batched Schmidt despike
+(fixed-shape while_loop), causal Butterworth cascade (associative-scan biquads) and abs-max
+normalisation compose into a single compiled program with no host round-trips.
+
+Matches the oracle within the equivalence bar (corr > 0.999, max |diff| < 5e-3).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import despike as _despike
+from ..ops import iir as _iir
+from ..ops import normalize as _norm
+from ..ops import resample as _resample
+from ..ops import segment as _segment
+from ..ops import stft as _stft
+from .filters import ECG_BAND, PCG_BAND
+from .segment import WindowSpec
+from .spectrogram import MelConfig
+
+# Re-exported batched primitives.
+lowpass = _iir.lowpass
+highpass = _iir.highpass
+bandpass_cascade = _iir.bandpass_cascade
+resample = _resample.resample
+remove_spikes = _despike.remove_spikes
+abs_max_normalise = _norm.abs_max_normalise
+minmax_normalise = _norm.minmax_normalise
+z_normalise = _norm.z_normalise
+kpeak_normalise = _norm.kpeak_normalise
+fit_length = _norm.fit_length
+segment = _segment.segment
+log_mel = _stft.log_mel
+mel_spectrogram = _stft.mel_spectrogram
+
+
+def _as_batched(x: jnp.ndarray) -> tuple[jnp.ndarray, bool]:
+    if x.ndim == 1:
+        return x[None, :], True
+    return x, False
+
+
+@partial(jax.jit, static_argnames=("fs_in", "fs_out", "despike"))
+def preprocess_pcg(x: jnp.ndarray, fs_in: float, fs_out: float, *,
+                   despike: bool = True) -> jnp.ndarray:
+    """PCG chain on ``[B, T]``: resample -> despike -> 25-450 Hz cascade -> abs-max."""
+    x, squeeze = _as_batched(x)
+    x = resample(x, fs_in, fs_out)
+    if despike:
+        x = remove_spikes(x, fs_out)
+    x = bandpass_cascade(x, fs_out, *PCG_BAND, order=2)
+    x = abs_max_normalise(x)
+    return x[0] if squeeze else x
+
+
+@partial(jax.jit, static_argnames=("fs_in", "fs_out"))
+def preprocess_ecg(x: jnp.ndarray, fs_in: float, fs_out: float) -> jnp.ndarray:
+    """ECG chain on ``[B, T]``: resample -> 2-40 Hz cascade -> abs-max."""
+    x, squeeze = _as_batched(x)
+    x = resample(x, fs_in, fs_out)
+    x = bandpass_cascade(x, fs_out, *ECG_BAND, order=2)
+    x = abs_max_normalise(x)
+    return x[0] if squeeze else x
