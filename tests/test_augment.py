@@ -1,0 +1,162 @@
+"""Augmentation tests: host pipelines, own-DSP (HPSS / stretch), and the jitted batch twin.
+
+Mirrors the reference's bounds/shape pinning with probabilities forced for determinism
+(reference tests/test_torchaug.py:9-23) plus coverage for the in-house HPSS and phase-vocoder
+stretch that replace librosa / pyrubberband.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wav2vec_heart_sounds_tpu.augment import (
+    AugmentConfig,
+    augment_ecg,
+    augment_multi_pcg,
+    augment_pcg,
+    augment_pcg_batch,
+    augment_pcg_ecg,
+)
+from wav2vec_heart_sounds_tpu.augment import dsp, primitives as P
+
+
+def tone(freq, fs, seconds=2.0):
+    t = np.arange(int(fs * seconds)) / fs
+    return np.sin(2 * np.pi * freq * t)
+
+
+def test_stft_istft_roundtrip():
+    x = tone(90, 2000, 1.5) + 0.3 * tone(300, 2000, 1.5)
+    S = dsp.stft(x, 512, 128)
+    y = dsp.istft(S, 512, 128, length=len(x))
+    assert np.max(np.abs(x - y)) < 1e-6
+
+
+def test_hpss_separates_tone_from_click():
+    fs = 2000
+    x = tone(60, fs, 2.0)
+    x[2000] += 5.0  # percussive click
+    harm, perc, resid = dsp.hpss_split(x, 512, 64, margin=(1.0, 1.0), kernel=(17, 17))
+    assert len(harm) == len(x)
+    # the click's energy should land mostly in the percussive part
+    w = slice(1900, 2100)
+    assert np.max(np.abs(perc[w])) > np.max(np.abs(harm[w])) * 0.5
+    # away from the click, the tone is mostly harmonic
+    far = slice(3000, 3500)
+    assert np.mean(harm[far] ** 2) > np.mean(perc[far] ** 2)
+
+
+def test_time_stretch_changes_length():
+    fs = 2000
+    x = tone(50, fs, 2.0)
+    y = P.time_stretch(x, fs, 1.25)
+    assert abs(len(y) - round(len(x) / 1.25)) <= 2
+    z = P.time_stretch(x, fs, 0.8, keep_length=True)
+    assert len(z) == len(x)
+    # pitch preserved: dominant frequency stays ~50 Hz
+    spec = np.abs(np.fft.rfft(y * np.hanning(len(y))))
+    peak_hz = np.argmax(spec) * fs / len(y)
+    assert abs(peak_hz - 50) < 5
+
+
+def test_primitive_bounds():
+    rng = np.random.default_rng(0)
+    fs = 1000
+    x = tone(40, fs)
+    for fn in (lambda: P.add_white_noise(x, rng),
+               lambda: P.sinusoidal_envelope(x, fs, rng=rng),
+               lambda: P.baseline_wander(x, fs, rng=rng),
+               lambda: P.parametric_eq(x, fs, 2, 450, rng=rng)):
+        out = fn()
+        assert np.all(np.isfinite(out))
+        assert np.max(np.abs(out)) <= 1.0 + 1e-6
+
+
+def test_amplitude_warp_preserves_shape():
+    rng = np.random.default_rng(1)
+    x = tone(40, 1000)
+    out = P.amplitude_warp(x, rng=rng)
+    assert out.shape == x.shape and np.all(np.isfinite(out))
+
+
+def test_pipelines_shapes_and_bounds():
+    rng = np.random.default_rng(2)
+    fs = 1000
+    cfg = AugmentConfig(prob_real_noise=0.0)
+    pcg, ecg = tone(60, fs), tone(8, fs)
+    out = augment_pcg(pcg, fs, cfg, rng=rng)
+    assert np.max(np.abs(out)) <= 1.0 + 1e-6
+    out = augment_ecg(ecg, fs, cfg, rng=rng)
+    assert np.max(np.abs(out)) <= 1.0 + 1e-6
+    e, p = augment_pcg_ecg(ecg, pcg, fs, cfg, rng=rng)
+    assert np.max(np.abs(e)) <= 1.0 + 1e-6 and np.max(np.abs(p)) <= 1.0 + 1e-6
+    chans = augment_multi_pcg([tone(60, fs), tone(80, fs)], fs, cfg, rng=rng)
+    assert len(chans) == 2
+    assert all(np.max(np.abs(c)) <= 1.0 + 1e-6 for c in chans)
+
+
+def test_pipeline_deterministic_given_rng():
+    fs = 1000
+    cfg = AugmentConfig(prob_real_noise=0.0)
+    a = augment_pcg(tone(60, fs), fs, cfg, rng=np.random.default_rng(7))
+    b = augment_pcg(tone(60, fs), fs, cfg, rng=np.random.default_rng(7))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_batch_augment_shape_and_bounds():
+    key = jax.random.key(0)
+    x = jax.random.normal(jax.random.key(1), (8, 4125))
+    cfg = AugmentConfig(prob_hpss=0.0, prob_real_noise=0.0)
+    out = augment_pcg_batch(key, x, 4125, cfg)
+    assert out.shape == x.shape
+    assert bool(jnp.isfinite(out).all())
+    assert float(jnp.abs(out).max()) <= 1.0 + 1e-5
+
+
+def test_batch_augment_mask_leaves_rows_untouched():
+    """prob=0 for every stage -> output is just the normalised input."""
+    from wav2vec_heart_sounds_tpu.ops.normalize import abs_max_normalise
+    key = jax.random.key(3)
+    x = jax.random.normal(jax.random.key(4), (4, 2000))
+    cfg = AugmentConfig(prob_noise=0.0, prob_wandering_volume=0.0, prob_banding=0.0)
+    out = augment_pcg_batch(key, x, 2000, cfg)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(abs_max_normalise(x)), atol=1e-6)
+
+
+def test_dynamic_eq_biquad_matches_scipy():
+    """The traced closed-form butter(1, band) design matches scipy's."""
+    from scipy import signal as sps
+    from wav2vec_heart_sounds_tpu.ops.iir import biquad_dynamic, butter1_bandpass_coeffs
+    fs = 4125
+    lowf, highf = 80.0, 310.0
+    x = np.random.default_rng(5).normal(size=4000)
+    b_ref, a_ref = sps.butter(1, [lowf / (fs / 2), highf / (fs / 2)], btype="band")
+    ref = sps.lfilter(b_ref, a_ref, x)
+    b, a = butter1_bandpass_coeffs(jnp.float32(lowf / (fs / 2)), jnp.float32(highf / (fs / 2)))
+    np.testing.assert_allclose(np.asarray(b), b_ref, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a), a_ref, atol=1e-5)
+    out = np.asarray(biquad_dynamic(jnp.asarray(x, jnp.float32)[None], b, a))[0]
+    assert np.max(np.abs(out - ref)) < 5e-4
+
+
+def test_noise_sources_fall_back_to_silence(tmp_path):
+    from wav2vec_heart_sounds_tpu.augment.noise_sources import ecg_noise, pcg_noise
+    rng = np.random.default_rng(0)
+    assert np.all(pcg_noise(1000, 500, str(tmp_path), rng) == 0)
+    assert np.all(ecg_noise(1000, 500, str(tmp_path), rng) == 0)
+
+
+def test_noise_sources_read_wfdb_records(tmp_path):
+    from wav2vec_heart_sounds_tpu.augment.noise_sources import ecg_noise, pcg_noise
+    from wav2vec_heart_sounds_tpu.data import wfdb_io
+    rng = np.random.default_rng(0)
+    fs = 500
+    sig = np.stack([tone(30, fs, 10.0), tone(45, fs, 10.0)], axis=1)
+    wfdb_io.write_record(str(tmp_path / "EPH1"), sig, fs, sig_names=["AUX1", "AUX2"])
+    out = pcg_noise(1000, 800, str(tmp_path), rng)
+    assert out.shape == (800,) and np.all(np.isfinite(out))
+    for name in ("em", "bw", "ma"):
+        wfdb_io.write_record(str(tmp_path / name), tone(5, fs, 10.0), fs, sig_names=["noise"])
+    out = ecg_noise(1000, 800, str(tmp_path), rng)
+    assert out.shape == (800,) and np.all(np.isfinite(out))

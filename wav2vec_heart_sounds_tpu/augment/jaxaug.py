@@ -1,0 +1,119 @@
+"""Batched on-device waveform augmentation with explicit PRNG keys.
+
+Device twin of the tensor-friendly augmentation subset, matching the reference's torchaug
+semantics (src/mpcg_wav2vec/augment/torchaug.py:30-111): additive white noise, sinusoidal
+volume modulation, baseline wander, cubic-gain amplitude warp (depthwise conv) and random
+parametric EQ (1st-order Butterworth band sections, shared across the batch), each applied
+through an independent per-sample Bernoulli mask so unaugmented rows pass through untouched.
+
+Everything is jit-compiled; randomness is threaded through ``jax.random`` keys — no host
+round-trips, so the whole ``augment_pcg_batch`` fuses into the training step. Time-stretch and
+HPSS have no exact tensor form and stay on the NumPy path (:mod:`.pipelines`), exactly as the
+reference scopes them (torchaug.py:9-11).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.iir import biquad_dynamic, butter1_bandpass_coeffs
+from ..ops.normalize import abs_max_normalise as _normalise
+from .pipelines import AugmentConfig
+
+NOISE_STDS = (0.0001, 0.001, 0.01)
+
+
+def _apply(key: jax.Array, x: jnp.ndarray, transformed: jnp.ndarray, prob: float) -> jnp.ndarray:
+    """Blend transformed vs untouched rows with a per-sample Bernoulli mask, then normalise."""
+    mask = (jax.random.uniform(key, (x.shape[0], 1)) < prob).astype(x.dtype)
+    return _normalise(mask * transformed + (1.0 - mask) * x)
+
+
+def add_white_noise(key: jax.Array, x: jnp.ndarray) -> jnp.ndarray:
+    k_std, k_scale, k_noise = jax.random.split(key, 3)
+    std = jax.random.choice(k_std, jnp.asarray(NOISE_STDS, dtype=x.dtype))
+    scale = jax.random.uniform(k_scale, (x.shape[0], 1), dtype=x.dtype) * 0.1
+    return x + scale * std * jax.random.normal(k_noise, x.shape, dtype=x.dtype)
+
+
+def _two_band_sines(key: jax.Array, b: int, t: jnp.ndarray, amp_lo: float,
+                    amp_span: float) -> jnp.ndarray:
+    """Per-sample fast (0.05-0.5 Hz) + slow (0.001-0.05 Hz) random sinusoids ``[B, T]``."""
+    out = jnp.zeros((b, t.shape[0]), dtype=t.dtype)
+    for i, (lo, hi) in enumerate(((0.05, 0.5), (0.001, 0.05))):
+        ka, kf, kp = jax.random.split(jax.random.fold_in(key, i), 3)
+        amp = amp_lo + jax.random.uniform(ka, (b, 1), dtype=t.dtype) * amp_span
+        freq = lo + jax.random.uniform(kf, (b, 1), dtype=t.dtype) * (hi - lo)
+        phase = jax.random.uniform(kp, (b, 1), dtype=t.dtype)
+        out = out + amp * jnp.sin(2 * jnp.pi * (freq * t + phase))
+    return out
+
+
+def sinusoidal_envelope(key: jax.Array, x: jnp.ndarray, fs: int) -> jnp.ndarray:
+    t = jnp.arange(x.shape[-1], dtype=x.dtype) / fs
+    return x * (1.0 + _two_band_sines(key, x.shape[0], t, 0.01, 0.24))
+
+
+def baseline_wander(key: jax.Array, x: jnp.ndarray, fs: int) -> jnp.ndarray:
+    t = jnp.arange(x.shape[-1], dtype=x.dtype) / fs
+    return x + _two_band_sines(key, x.shape[0], t, 0.01, 0.19)
+
+
+def amplitude_warp(key: jax.Array, x: jnp.ndarray, num_points: int = 12,
+                   kernel: int = 65) -> jnp.ndarray:
+    """Per-sample smooth unit-sum gain curve applied as a depthwise 1-D convolution."""
+    b, t = x.shape
+    amps = 0.7 + jax.random.uniform(key, (b, num_points), dtype=x.dtype) * 0.6
+    grid = jnp.arange(kernel, dtype=x.dtype) / (kernel - 1) * (num_points - 1)
+    lo = jnp.clip(jnp.floor(grid).astype(jnp.int32), 0, num_points - 1)
+    hi = jnp.clip(jnp.ceil(grid).astype(jnp.int32), 0, num_points - 1)
+    frac = grid - lo
+    curve = amps[:, lo] + (amps[:, hi] - amps[:, lo]) * frac[None, :]       # [B, K]
+    curve = curve / jnp.sum(curve, axis=-1, keepdims=True)
+
+    padded = jnp.pad(x, [(0, 0), (kernel // 2, kernel // 2)], mode="reflect")
+    out = jax.lax.conv_general_dilated(
+        padded[None, :, :], curve[:, None, :],
+        window_strides=(1,), padding="VALID",
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        feature_group_count=b,
+    )
+    return out[0, :, :t]
+
+
+def parametric_eq(key: jax.Array, x: jnp.ndarray, fs: float, low: float, high: float,
+                  num_bands: int = 5) -> jnp.ndarray:
+    """Blend with a stack of random narrow band sections (edges shared across the batch)."""
+    nyq = fs / 2.0
+    coloured = x
+    for i in range(num_bands):
+        k1, k2 = jax.random.split(jax.random.fold_in(key, i))
+        b_low = jax.random.uniform(k1, (), dtype=x.dtype, minval=low, maxval=0.95 * high)
+        b_high = jax.random.uniform(k2, (), dtype=x.dtype,
+                                    minval=b_low + 0.05 * (high - low), maxval=high)
+        b, a = butter1_bandpass_coeffs(b_low / nyq, b_high / nyq)
+        coloured = biquad_dynamic(coloured, b, a)
+    return _normalise(_normalise(coloured) / 50.0 + _normalise(x))
+
+
+@partial(jax.jit, static_argnames=("fs", "prob_noise", "prob_wandering_volume", "prob_banding"))
+def _augment_pcg_batch(key: jax.Array, x: jnp.ndarray, fs: int, prob_noise: float,
+                       prob_wandering_volume: float, prob_banding: float) -> jnp.ndarray:
+    x = _normalise(x)
+    keys = jax.random.split(key, 8)
+    x = _apply(keys[0], x, add_white_noise(keys[1], x), prob_noise / 4)
+    x = _apply(keys[2], x, sinusoidal_envelope(keys[3], x, fs), prob_wandering_volume)
+    x = _apply(keys[4], x, parametric_eq(keys[5], x, fs, 2, 500), prob_banding)
+    x = _apply(keys[6], x, add_white_noise(keys[7], x), prob_noise / 4)
+    return x
+
+
+def augment_pcg_batch(key: jax.Array, x: jnp.ndarray, fs: int,
+                      cfg: AugmentConfig | None = None) -> jnp.ndarray:
+    """Apply the on-device PCG augmentation subset to a batch ``[B, T]``."""
+    cfg = cfg or AugmentConfig()
+    return _augment_pcg_batch(key, x, fs, cfg.prob_noise,
+                              cfg.prob_wandering_volume, cfg.prob_banding)

@@ -120,6 +120,82 @@ def bandpass_cascade(x: jnp.ndarray, fs: float, low: float, high: float,
     return highpass(lowpass(x, fs, high, order=order), fs, low, order=order)
 
 
+def biquad_dynamic(x: jnp.ndarray, b: jnp.ndarray, a: jnp.ndarray) -> jnp.ndarray:
+    """One biquad with **traced** coefficients ``b=[b0,b1,b2]``, ``a=[1,a1,a2]``.
+
+    Used by the on-device random parametric EQ, whose band edges are drawn from a PRNG key
+    inside jit (so the partial-fraction split must also be traced). Poles come from the
+    quadratic formula with a complex-safe discriminant; the two first-order scans then run in
+    explicit (re, im) arithmetic. Requires ``a2 != 0`` (true for any band-pass section).
+    """
+    b0, b1, b2 = b[0], b[1], b[2]
+    a1, a2 = a[1], a[2]
+    disc = a1 * a1 - 4.0 * a2
+    sq_re = jnp.sqrt(jnp.maximum(disc, 0.0))
+    sq_im = jnp.sqrt(jnp.maximum(-disc, 0.0))
+    # p1 = (-a1 + sq)/2, p2 = (-a1 - sq)/2 in complex form
+    p1 = ((-a1 + sq_re) * 0.5, sq_im * 0.5)
+    p2 = ((-a1 - sq_re) * 0.5, -sq_im * 0.5)
+
+    def cdiv(n, d):
+        nr, ni = n
+        dr, di = d
+        den = dr * dr + di * di + 1e-30
+        return ((nr * dr + ni * di) / den, (ni * dr - nr * di) / den)
+
+    def cmul(u, v):
+        ur, ui = u
+        vr, vi = v
+        return (ur * vr - ui * vi, ur * vi + ui * vr)
+
+    def num_at_inv(p):
+        w = cdiv((jnp.ones_like(p[0]), jnp.zeros_like(p[0])), p)     # w = 1/p
+        w2 = cmul(w, w)
+        return (b0 + b1 * w[0] + b2 * w2[0], b1 * w[1] + b2 * w2[1])
+
+    one = (jnp.ones_like(a1), jnp.zeros_like(a1))
+    r1 = cdiv(num_at_inv(p1), (one[0] - cdiv(p2, p1)[0], -cdiv(p2, p1)[1]))
+    r2 = cdiv(num_at_inv(p2), (one[0] - cdiv(p1, p2)[0], -cdiv(p1, p2)[1]))
+    C = b2 / (a2 + jnp.where(a2 == 0, 1e-30, 0.0))
+
+    def scan_pair(p, r):
+        pr = jnp.broadcast_to(p[0], x.shape).astype(x.dtype)
+        pi = jnp.broadcast_to(p[1], x.shape).astype(x.dtype)
+        br = (r[0] * x).astype(x.dtype)
+        bi = (r[1] * x).astype(x.dtype)
+
+        def combine(left, right):
+            a1r, a1i, b1r, b1i = left
+            a2r, a2i, b2r, b2i = right
+            return (
+                a1r * a2r - a1i * a2i,
+                a1r * a2i + a1i * a2r,
+                b1r * a2r - b1i * a2i + b2r,
+                b1r * a2i + b1i * a2r + b2i,
+            )
+
+        _, _, yr, _ = jax.lax.associative_scan(combine, (pr, pi, br, bi), axis=-1)
+        return yr
+
+    return C * x + scan_pair(p1, r1) + scan_pair(p2, r2)
+
+
+def butter1_bandpass_coeffs(low: jnp.ndarray, high: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Traced 1st-order Butterworth band-pass design (scipy ``butter(1, [l,h], 'band')``).
+
+    ``low``/``high`` are Nyquist-normalised edges in (0, 1). Closed-form bilinear transform of
+    the band-transformed prototype H(s) = Bw*s / (s^2 + Bw*s + Wo^2) with fs = 2.
+    """
+    w1 = 4.0 * jnp.tan(jnp.pi * low / 2.0)
+    w2 = 4.0 * jnp.tan(jnp.pi * high / 2.0)
+    bw = w2 - w1
+    wo2 = w1 * w2
+    a0 = 16.0 + 4.0 * bw + wo2
+    b = jnp.stack([4.0 * bw, jnp.zeros_like(bw), -4.0 * bw]) / a0
+    a = jnp.stack([jnp.ones_like(bw), (2.0 * wo2 - 32.0) / a0, (16.0 - 4.0 * bw + wo2) / a0])
+    return b, a
+
+
 def _biquad_sequential(x: jnp.ndarray, section) -> jnp.ndarray:
     """Exact O(T) serial biquad via ``lax.scan`` (transposed direct-form II)."""
     b0, b1, b2, _a0, a1, a2 = section
