@@ -1,0 +1,117 @@
+"""Host-side batching pipeline feeding the TPU: balanced sampling, static-shape padded
+batches, and device prefetch.
+
+Replaces the reference's torch DataLoader + WeightedRandomSampler + pad_collate stack
+(reference src/mpcg_wav2vec/experiments/common.py:14-23, datasets/cinc.py:143-167) with a
+TPU-discipline design:
+
+* every batch has a **static shape** (fixed batch size; waveforms padded to a fixed length),
+  so the jitted train step compiles once;
+* class-balanced sampling with replacement happens on the host with an explicit seed;
+* :func:`prefetch_to_device` keeps one batch in flight (double-buffering) so host assembly
+  overlaps device compute.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import numpy as np
+
+
+def pad_batch(waves: list[np.ndarray], target_len: int | None = None) -> np.ndarray:
+    """Zero-pad ``[T]`` / ``[T, C]`` items to a common length and stack to ``[B, L(, C)]``."""
+    max_len = max(w.shape[0] for w in waves)
+    length = target_len or max_len
+    multi = waves[0].ndim == 2
+    shape = (len(waves), length, waves[0].shape[1]) if multi else (len(waves), length)
+    out = np.zeros(shape, dtype=np.float32)
+    for i, w in enumerate(waves):
+        n = min(w.shape[0], length)
+        out[i, :n] = w[:n]
+    return out
+
+
+class Batcher:
+    """Iterate fixed-shape batches over a FragmentDataset-like sequence.
+
+    ``train=True`` draws a class-balanced bootstrap (one epoch = len(dataset) draws with
+    replacement, equal class probability); ``train=False`` iterates in order, padding the last
+    batch by repeating its final item so shapes stay static (the repeated rows carry
+    ``valid=False`` and are ignored by metric accumulation).
+    """
+
+    def __init__(self, dataset, batch_size: int, train: bool, *, seed: int = 0,
+                 target_len: int | None = None, drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.train = train
+        self.seed = seed
+        self.epoch = 0
+        self.target_len = target_len
+        self.drop_last = drop_last
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if (self.train or self.drop_last) \
+            else -(-n // self.batch_size)
+
+    def _epoch_indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if not self.train:
+            return np.arange(n)
+        from .labels import balance_weights
+        rng = np.random.default_rng(self.seed + self.epoch)
+        w = balance_weights(self.dataset.labels)
+        return rng.choice(n, size=n, replace=True, p=w / w.sum())
+
+    def __iter__(self) -> Iterator[dict]:
+        idx = self._epoch_indices()
+        self.epoch += 1
+        bs = self.batch_size
+        n_batches = len(idx) // bs if (self.train or self.drop_last) else -(-len(idx) // bs)
+        for b in range(n_batches):
+            chunk = idx[b * bs:(b + 1) * bs]
+            valid = np.ones(bs, dtype=bool)
+            if len(chunk) < bs:                      # eval tail: repeat last item, mark invalid
+                valid[len(chunk):] = False
+                chunk = np.concatenate([chunk, np.full(bs - len(chunk), chunk[-1])])
+            items = [self.dataset[int(i)] for i in chunk]
+            yield {
+                "waveform": pad_batch([it["waveform"] for it in items], self.target_len),
+                "label": np.asarray([it["label"] for it in items], dtype=np.int32),
+                "patient": [it["patient"] for it in items],
+                "valid": valid,
+            }
+
+
+def prefetch_to_device(iterator: Iterable[dict], size: int = 2) -> Iterator[dict]:
+    """Move array leaves to device ahead of consumption (simple double-buffer).
+
+    Strings (patient ids) stay host-side.
+    """
+    import collections
+
+    import jax
+
+    queue = collections.deque()
+
+    def put(batch):
+        queue.append({
+            k: (jax.device_put(v) if isinstance(v, np.ndarray) and k != "valid" else v)
+            for k, v in batch.items()
+        })
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            put(next(it))
+    except StopIteration:
+        pass
+    while queue:
+        out = queue.popleft()
+        try:
+            put(next(it))
+        except StopIteration:
+            pass
+        yield out
