@@ -1,0 +1,154 @@
+"""Wav2Vec2 model tests, including numerical parity against HF transformers.
+
+The parity test instantiates a *random-init tiny* HF torch Wav2Vec2Model locally (no network),
+converts its weights via hf_port, and pins our Flax forward to the torch activations —
+the "layer-by-layer parity, then pin" strategy from SURVEY.md §7 hard-part 3.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wav2vec_heart_sounds_tpu.models import (
+    ClassifierConfig,
+    Wav2Vec2Config,
+    Wav2Vec2Model,
+    Wav2VecClassifier,
+    trainable_mask,
+)
+
+
+def test_feature_extractor_output_length():
+    cfg = Wav2Vec2Config()
+    # 4 s at 16 kHz -> ~199 frames (20 ms stride)
+    assert cfg.feat_extract_output_length(64000) == 199
+    assert cfg.feat_extract_output_length(16500) == 51
+
+
+def test_tiny_forward_shape():
+    cfg = Wav2Vec2Config.tiny()
+    model = Wav2Vec2Model(cfg)
+    x = jnp.zeros((2, 1000))
+    params = model.init(jax.random.key(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (2, cfg.feat_extract_output_length(1000), cfg.hidden_size)
+
+
+def test_classifier_forward_and_encode():
+    cfg = ClassifierConfig(num_classes=2, head_hidden=(16,), encoder=Wav2Vec2Config.tiny())
+    model = Wav2VecClassifier(cfg)
+    x = jnp.zeros((2, 1000))
+    params = model.init(jax.random.key(0), x)
+    logits = model.apply(params, x)
+    assert logits.shape == (2, 2)
+    feats = model.apply(params, x, method=Wav2VecClassifier.encode)
+    assert feats.shape == (2, cfg.encoder.hidden_size)
+
+
+def test_classifier_multichannel_beamformer():
+    enc = Wav2Vec2Config.tiny()
+    cfg = ClassifierConfig(num_classes=2, num_channels=3, head_hidden=(8,),
+                           fs=1000, encoder=enc)
+    model = Wav2VecClassifier(cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 1500, 3)), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    logits = model.apply(params, x)
+    assert logits.shape == (2, 2)
+    assert "channel_mixer" in params["params"]
+
+
+def test_beamformer_collapses_channels():
+    from wav2vec_heart_sounds_tpu.models import TimeVaryingSincBeamformer
+    bf = TimeVaryingSincBeamformer(num_mics=6, fs=4125)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 6, 1500)), jnp.float32)
+    params = bf.init(jax.random.key(0), x)
+    out = bf.apply(params, x)
+    assert out.shape == (2, 1500)
+    assert bool(jnp.isfinite(out).all())
+    assert bool((out >= 0).all())     # sum of squares
+
+
+def test_trainable_mask_policies():
+    enc = Wav2Vec2Config.tiny()
+    x = jnp.zeros((1, 1000))
+
+    def flags(cfg):
+        model = Wav2VecClassifier(cfg)
+        params = model.init(jax.random.key(0), x)["params"]
+        mask = trainable_mask(params, cfg)
+        leaves = jax.tree_util.tree_flatten_with_path(mask)[0]
+        return {jax.tree_util.keystr(p): v for p, v in leaves}
+
+    full = flags(ClassifierConfig(head_hidden=(8,), encoder=enc))
+    assert all(full.values())
+
+    frozen = flags(ClassifierConfig(head_hidden=(8,), freeze_encoder=True, encoder=enc))
+    assert not any(v for k, v in frozen.items() if "encoder" in k)
+    assert all(v for k, v in frozen.items() if "head" in k)
+
+    lora = flags(ClassifierConfig(head_hidden=(8,), lora=True, encoder=enc))
+    enc_flags = {k: v for k, v in lora.items() if "encoder" in k}
+    assert all(v for k, v in enc_flags.items() if "lora_" in k)
+    assert not any(v for k, v in enc_flags.items() if "lora_" not in k)
+    assert all(v for k, v in lora.items() if "head" in k)
+
+
+def test_lora_zero_init_is_identity():
+    """With lora_b zero-init, LoRA output equals the base model's at init."""
+    enc = Wav2Vec2Config.tiny()
+    x = jnp.asarray(np.random.default_rng(2).normal(size=(2, 1000)), jnp.float32)
+    base = Wav2VecClassifier(ClassifierConfig(head_hidden=(8,), encoder=enc))
+    params = base.init(jax.random.key(0), x)
+    lora_model = Wav2VecClassifier(ClassifierConfig(head_hidden=(8,), lora=True, encoder=enc))
+    lora_params = lora_model.init(jax.random.key(0), x)
+    out_lora = lora_model.apply(lora_params, x)
+    assert out_lora.shape == (2, 2)
+    b_leaves = [np.asarray(v) for p, v in
+                jax.tree_util.tree_flatten_with_path(lora_params)[0]
+                if "lora_b" in jax.tree_util.keystr(p)]
+    assert b_leaves and all((b == 0).all() for b in b_leaves)
+
+
+def test_spec_augment_masking_changes_output():
+    cfg = Wav2Vec2Config.tiny(mask_time_prob=0.5, mask_time_length=3)
+    model = Wav2Vec2Model(cfg)
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(2, 2000)), jnp.float32)
+    params = model.init(jax.random.key(0), x)
+    clean = model.apply(params, x)
+    masked = model.apply(params, x, train=True, mask_key=jax.random.key(1),
+                         rngs={"dropout": jax.random.key(2)})
+    assert masked.shape == clean.shape
+    assert not np.allclose(np.asarray(clean), np.asarray(masked))
+
+
+@pytest.mark.parametrize("seq_len", [4000])
+def test_hf_parity_tiny(seq_len):
+    """Our Flax forward matches a random-init HF torch Wav2Vec2Model bit-for-bit-ish."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    hf_cfg = transformers.Wav2Vec2Config(
+        vocab_size=32, hidden_size=48, num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=96, conv_dim=(24, 24, 24), conv_kernel=(10, 3, 3),
+        conv_stride=(5, 2, 2), num_conv_pos_embeddings=16,
+        num_conv_pos_embedding_groups=2, feat_extract_norm="group", conv_bias=False,
+        do_stable_layer_norm=False,
+        hidden_dropout=0.0, attention_dropout=0.0, activation_dropout=0.0,
+        feat_proj_dropout=0.0, layerdrop=0.0, mask_time_prob=0.0,
+    )
+    torch.manual_seed(0)
+    hf = transformers.Wav2Vec2Model(hf_cfg).eval()
+
+    from wav2vec_heart_sounds_tpu.models import hf_port
+    cfg = hf_port.config_from_hf(hf_cfg)
+    params = hf_port.convert_state_dict(hf.state_dict(), cfg)
+
+    x = np.random.default_rng(0).normal(size=(2, seq_len)).astype(np.float32)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(x)).last_hidden_state.numpy()
+
+    model = Wav2Vec2Model(cfg)
+    out = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)

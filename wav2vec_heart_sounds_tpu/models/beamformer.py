@@ -1,0 +1,83 @@
+"""Time-varying sinc delay-and-sum beamformer (multichannel -> mono collapse).
+
+Behavioral contract from reference src/mpcg_wav2vec/classify/beamformer.py:15-55: a tiny
+transformer predicts a per-sample fractional delay for each microphone (clamped to
+[0, 0.01 s * fs]); each channel is fractionally delayed by a 41-tap Hamming-windowed dynamic
+sinc kernel, squared, and summed across microphones.
+
+TPU design: the unfold + per-(b, t) kernel einsum becomes a stack of 41 statically shifted
+slices contracted against the kernel — one fused elementwise+reduce chain under XLA, no
+gather. Channels are vmapped, so the whole collapse is one compiled region. (A Pallas kernel
+fusing the sinc build with the contraction is the follow-on optimisation; see ops/pallas.)
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+class DelayPredictor(nn.Module):
+    """[B, M, T] -> per-sample per-mic delays [B, M, T] via a small transformer."""
+    num_mics: int
+    d_model: int = 32
+    num_heads: int = 4
+    ffn: int = 64
+    num_layers: int = 2
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        h = jnp.swapaxes(x, 1, 2).astype(self.dtype)                  # [B, T, M]
+        h = nn.Dense(self.d_model, dtype=self.dtype, name="input_proj")(h)
+        for i in range(self.num_layers):
+            # Post-norm transformer encoder layer (torch TransformerEncoderLayer layout).
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.num_heads, dtype=self.dtype,
+                name=f"attn_{i}")(h, h, deterministic=deterministic)
+            h = nn.LayerNorm(dtype=jnp.float32, name=f"norm1_{i}")(h + attn)
+            f = nn.Dense(self.ffn, dtype=self.dtype, name=f"ff1_{i}")(h.astype(self.dtype))
+            f = nn.relu(f)
+            f = nn.Dense(self.d_model, dtype=self.dtype, name=f"ff2_{i}")(f)
+            h = nn.LayerNorm(dtype=jnp.float32, name=f"norm2_{i}")(h + f)
+        out = nn.Dense(self.num_mics, dtype=self.dtype, name="output_proj")(h.astype(self.dtype))
+        return jnp.swapaxes(out, 1, 2)                                # [B, M, T]
+
+
+def _delay_channel(x: jnp.ndarray, delays: jnp.ndarray, kernel_size: int,
+                   window: jnp.ndarray) -> jnp.ndarray:
+    """Fractionally delay ``x`` [B, T] by per-sample ``delays`` [B, T] (dynamic sinc)."""
+    half = kernel_size // 2
+    t_idx = jnp.arange(-half, half + 1, dtype=x.dtype)                 # [K]
+    kernel = jnp.sinc(t_idx[None, None, :] - delays[:, :, None]) * window[None, None, :]
+    kernel = kernel / jnp.sum(kernel, axis=-1, keepdims=True)
+
+    padded = jnp.pad(x, [(0, 0), (half, half)], mode="reflect")
+    T = x.shape[-1]
+    shifted = jnp.stack([padded[:, k:k + T] for k in range(kernel_size)], axis=-1)  # [B,T,K]
+    return jnp.einsum("btk,btk->bt", shifted, kernel)
+
+
+class TimeVaryingSincBeamformer(nn.Module):
+    """[B, M, T] -> [B, T] sum-of-squares delay-and-sum with learned fractional delays."""
+    num_mics: int
+    fs: float
+    max_delay_s: float = 0.01
+    kernel_size: int = 41
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        window = jnp.asarray(np.hamming(self.kernel_size), dtype=x.dtype)
+        delays = DelayPredictor(self.num_mics, dtype=self.dtype,
+                                name="delay_predictor")(x, deterministic)
+        delays = jnp.clip(delays, 0.0, self.max_delay_s * self.fs)
+        aligned = jax.vmap(
+            lambda xc, dc: _delay_channel(xc, dc, self.kernel_size, window) ** 2,
+            in_axes=(1, 1), out_axes=0,
+        )(x, delays)                                                   # [M, B, T]
+        return jnp.sum(aligned, axis=0)
