@@ -82,6 +82,13 @@ class Wav2VecClassifier(nn.Module):
                  mask_key: jax.Array | None = None) -> jnp.ndarray:
         return self.head(self.encode(x, train=train, mask_key=mask_key))
 
+    def forward_with_features(self, x: jnp.ndarray, *, train: bool = False,
+                              mask_key: jax.Array | None = None
+                              ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """(pooled features, logits) — the feature-aware loss path (ContrastiveFocal)."""
+        feats = self.encode(x, train=train, mask_key=mask_key)
+        return feats, self.head(feats)
+
 
 def trainable_mask(params, config: ClassifierConfig):
     """Boolean pytree: True = trained, mirroring the reference's freeze/LoRA policy.

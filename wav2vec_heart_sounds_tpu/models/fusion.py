@@ -44,7 +44,8 @@ class EncoderFusion:
                  hidden: int = 128, dtype: Any = jnp.float32):
         self.branches = branches
         self.head = FusionHead(num_classes=num_classes, hidden=hidden, dtype=dtype)
-        self.feature_dim = HIDDEN * len(branches)
+        self.feature_dim = sum(
+            getattr(model.config.encoder, "hidden_size", HIDDEN) for model, _ in branches)
 
     def init_head(self, key: jax.Array):
         feats = jnp.zeros((1, self.feature_dim), jnp.float32)

@@ -1,0 +1,188 @@
+"""Supervised classifier training: one jitted train step, best-MCC keeping, DP sharding.
+
+The reference's epoch loop (src/mpcg_wav2vec/classify/trainer.py:16-120) becomes a single
+donated, jit-compiled train step (forward + loss + backward + masked/clipped optimizer update)
+driven by the host batcher. TPU specifics:
+
+* static batch shapes -> one compilation per stage; per-epoch StepLR enters as a traced scalar;
+* params/opt-state are donated so updates happen in place in HBM;
+* with more than one device, batches are sharded over the ``dp`` mesh axis and parameters are
+  replicated — XLA inserts the gradient psum (the only collective this workload needs,
+  SURVEY.md §2.7);
+* optional on-device batch augmentation (:mod:`..augment.jaxaug`) fuses into the same program;
+* the best-validation-MCC parameters are kept on host and restored after fit (reference
+  trainer.py:90-112 semantics — classification checkpoints are in-memory only).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..models.classifier import Wav2VecClassifier, trainable_mask
+from ..parallel.mesh import maybe_shard_batch, replicate
+from .losses import (
+    ContrastiveFocalConfig,
+    contrastive_focal_loss,
+    cross_entropy,
+    init_contrastive_focal,
+)
+from .metrics import ConfusionMatrix
+from .optim import build_optimizer
+
+
+@dataclass
+class TrainState:
+    params: Any
+    loss_params: Any
+    opt_state: Any
+    epoch: int = 0
+
+
+class SupervisedTrainer:
+    def __init__(
+        self,
+        model,                                    # Wav2VecClassifier or EncoderFusion
+        params,                                   # init'd flax variables {"params": ...}
+        *,
+        optimizer_name: str = "sgd",
+        lr: float = 1e-3,
+        weight_decay: float = 1e-5,
+        batch_transform: Callable | None = None,  # key, [B,T] -> [B,T] on-device augment
+        criterion: ContrastiveFocalConfig | None = None,
+        classifier_config=None,                   # for trainable_mask; None = train all
+        mesh=None,
+        seed: int = 0,
+        log: Callable[[str], None] = print,
+    ):
+        self.model = model
+        self.mesh = mesh
+        self.log = log
+        self.batch_transform = batch_transform
+        self.criterion = criterion
+        self.key = jax.random.key(seed)
+
+        loss_params = {}
+        if criterion is not None and criterion.use_center:
+            self.key, sub = jax.random.split(self.key)
+            loss_params = init_contrastive_focal(sub, criterion)
+
+        mask = None
+        if classifier_config is not None:
+            enc_mask = trainable_mask(params["params"], classifier_config)
+            mask = {"model": enc_mask,
+                    "loss": jax.tree_util.tree_map(lambda _: True, loss_params)}
+        self.tx, self.schedule = build_optimizer(
+            optimizer_name, lr, weight_decay, trainable=mask, max_grad_norm=5.0)
+
+        train_tree = {"model": params["params"], "loss": loss_params}
+        self.state = TrainState(
+            params=replicate(params["params"], mesh),
+            loss_params=replicate(loss_params, mesh),
+            opt_state=replicate(self.tx.init(jax.tree_util.tree_map(jnp.asarray, train_tree)),
+                                mesh),
+        )
+        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1, 2))
+        self._eval_step = jax.jit(self._eval_step_impl)
+
+    # --- jitted steps -------------------------------------------------------
+
+    def _forward(self, params, loss_params, x, y, valid, train, keys):
+        feature_loss = self.criterion is not None
+        apply_kwargs = dict(train=train)
+        if train:
+            apply_kwargs["rngs"] = {"dropout": keys["dropout"]}
+            apply_kwargs["mask_key"] = keys["mask"]
+        if feature_loss:
+            feats, logits = self.model.apply(
+                {"params": params}, x, method=Wav2VecClassifier.forward_with_features,
+                **apply_kwargs)
+            loss = contrastive_focal_loss(loss_params, self.criterion, feats, logits, y, valid)
+        else:
+            logits = self.model.apply({"params": params}, x, **apply_kwargs)
+            loss = cross_entropy(logits, y, valid)
+        return loss, logits
+
+    def _train_step_impl(self, params, loss_params, opt_state, x, y, valid, lr, key):
+        k_aug, k_drop, k_mask = jax.random.split(key, 3)
+        if self.batch_transform is not None:
+            x = self.batch_transform(k_aug, x)
+
+        def loss_fn(train_tree):
+            return self._forward(train_tree["model"], train_tree["loss"], x, y, valid,
+                                 True, {"dropout": k_drop, "mask": k_mask})
+
+        train_tree = {"model": params, "loss": loss_params}
+        (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_tree)
+        updates, opt_state = self.tx.update(grads, opt_state, train_tree)
+        updates = jax.tree_util.tree_map(lambda u: lr * u, updates)
+        train_tree = optax.apply_updates(train_tree, updates)
+        preds = jnp.argmax(logits, axis=1)
+        return train_tree["model"], train_tree["loss"], opt_state, loss, preds
+
+    def _eval_step_impl(self, params, loss_params, x, y, valid):
+        loss, logits = self._forward(params, loss_params, x, y, valid, False, {})
+        return loss, logits
+
+    # --- epoch loop -----------------------------------------------------------
+
+    def _run_epoch(self, batcher, train: bool, max_batches: int | None,
+                   desc: str = "") -> tuple[ConfusionMatrix, float]:
+        cm = ConfusionMatrix()
+        running, n = 0.0, 0
+        lr = jnp.asarray(self.schedule(self.state.epoch), jnp.float32)
+        for i, batch in enumerate(batcher):
+            if max_batches is not None and i >= max_batches:
+                break
+            x = maybe_shard_batch(batch["waveform"], self.mesh)
+            y = maybe_shard_batch(batch["label"], self.mesh)
+            valid = maybe_shard_batch(batch["valid"].astype(np.float32), self.mesh)
+            if train:
+                self.key, sub = jax.random.split(self.key)
+                (self.state.params, self.state.loss_params, self.state.opt_state,
+                 loss, preds) = self._train_step(
+                    self.state.params, self.state.loss_params, self.state.opt_state,
+                    x, y, valid, lr, sub)
+            else:
+                loss, logits = self._eval_step(self.state.params, self.state.loss_params,
+                                               x, y, valid)
+                preds = jnp.argmax(logits, axis=1)
+            cm.update(batch["label"], np.asarray(preds), batch["valid"])
+            running += float(loss)
+            n += 1
+        return cm, running / max(1, n)
+
+    def fit(self, train_batcher, valid_batcher, epochs: int,
+            max_batches: int | None = None, label: str = "") -> float:
+        best_mcc = -1.0
+        best_params = None
+        prefix = f"{label} " if label else ""
+        for epoch in range(1, epochs + 1):
+            t0 = time.time()
+            train_cm, train_loss = self._run_epoch(train_batcher, True, max_batches)
+            self.state.epoch += 1
+            line = (f"{prefix}epoch {epoch}/{epochs}: loss={train_loss:.3f} "
+                    f"train {train_cm} [{time.time() - t0:.1f}s]")
+            if valid_batcher is not None:
+                valid_cm, _ = self._run_epoch(valid_batcher, False, max_batches)
+                mcc = valid_cm.stats()["mcc"]
+                line += f" | valid {valid_cm}"
+                if mcc > best_mcc:
+                    best_mcc = mcc
+                    best_params = jax.device_get(self.state.params)
+            self.log(line)
+        if valid_batcher is not None and best_params is not None:
+            self.state.params = replicate(
+                jax.tree_util.tree_map(jnp.asarray, best_params), self.mesh)
+        return best_mcc
+
+    @property
+    def variables(self):
+        return {"params": self.state.params}

@@ -1,0 +1,68 @@
+"""Optimizer factory: torch-semantics SGD/Adam/AdamW as optax chains, with freeze masks.
+
+Contract from reference src/mpcg_wav2vec/classify/trainer.py:16-31: SGD(momentum .9, coupled
+weight decay) + StepLR(step 7, gamma 0.1); Adam with coupled decay; AdamW decoupled — all over
+trainable params only. Freezing is an optax mask (no requires_grad mutation): frozen leaves'
+gradients are zeroed *before* the global-norm clip so the clip norm matches torch's
+trainable-only behavior, and the inner transform is masked so weight decay never touches
+frozen weights.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+
+
+def lr_schedule(name: str, lr: float) -> optax.Schedule:
+    """Per-epoch schedule (the trainer passes epoch index as the schedule step)."""
+    if name == "sgd":
+        return lambda epoch: lr * (0.1 ** (epoch // 7))     # StepLR(7, 0.1)
+    return lambda epoch: lr
+
+
+def _inner(name: str, weight_decay: float, momentum: float) -> optax.GradientTransformation:
+    if name == "sgd":
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),         # torch-coupled L2
+            optax.trace(decay=momentum),
+        )
+    if name == "adam":
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_adam(),
+        )
+    if name == "adamw":
+        return optax.chain(
+            optax.scale_by_adam(),
+            optax.add_decayed_weights(weight_decay),         # decoupled
+        )
+    raise ValueError(f"Unknown optimizer '{name}'")
+
+
+def build_optimizer(
+    name: str = "sgd",
+    lr: float = 1e-3,
+    weight_decay: float = 1e-5,
+    momentum: float = 0.9,
+    max_grad_norm: float | None = 5.0,
+    trainable: Any | None = None,
+) -> tuple[optax.GradientTransformation, optax.Schedule]:
+    """Returns (transform, per-epoch lr schedule).
+
+    The transform emits **unit-learning-rate descent directions** (already negated); the
+    trainer multiplies them by ``schedule(epoch)`` inside the jitted step — a traced scalar,
+    so per-epoch StepLR decay never recompiles. ``trainable`` is a bool pytree mask.
+    """
+    schedule = lr_schedule(name, lr)
+    steps = []
+    if trainable is not None:
+        frozen = jax.tree_util.tree_map(lambda t: not t, trainable)
+        steps.append(optax.masked(optax.set_to_zero(), frozen))
+    if max_grad_norm is not None:
+        steps.append(optax.clip_by_global_norm(max_grad_norm))
+    inner = optax.chain(_inner(name, weight_decay, momentum), optax.scale(-1.0))
+    steps.append(optax.masked(inner, trainable) if trainable is not None else inner)
+    return optax.chain(*steps), schedule
