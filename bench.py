@@ -1,0 +1,189 @@
+"""Throughput benchmark: PCG 4 s-windows/sec/chip, end-to-end (preproc + wav2vec2 train step).
+
+Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+What is measured (the BASELINE.json north-star path): a batch of raw 2 kHz PCG windows goes
+through the fused on-device preprocessing chain (polyphase resample to 16 kHz -> batched
+Schmidt despike -> 25-450 Hz causal cascade -> abs-max normalise) and a full wav2vec2-base
+classifier train step (forward + CE loss + backward + SGD update) — all one jit-compiled
+program per step. Steady-state timing over ``steps`` iterations after warmup.
+
+``vs_baseline`` compares against the measured reference-equivalent throughput stored in
+BASELINE_MEASURED.json (the torch-CPU path of MilanMarocchi/wav2vec-heart-sounds on this very
+host — the reference's own non-CUDA fallback; no GPU exists in this environment). Regenerate
+with ``python bench.py --measure-baseline``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+BASELINE_FILE = Path(__file__).parent / "BASELINE_MEASURED.json"
+
+
+def _raw_batch(batch_size: int, fs_in: int, seconds: float, seed: int = 0) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(fs_in * seconds)) / fs_in
+    base = np.sin(2 * np.pi * 90 * t) + 0.4 * np.sin(2 * np.pi * 250 * t)
+    batch = base[None, :] + 0.05 * rng.normal(size=(batch_size, t.size))
+    return batch.astype(np.float32)
+
+
+def run_bench(batch_size: int = 64, fs: int = 16000, window_s: float = 4.0,
+              steps: int = 20, mode: str = "train", fs_in: int = 2000) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vec_heart_sounds_tpu.models.build import build_classifier, default_compute_dtype
+    from wav2vec_heart_sounds_tpu.models.classifier import ClassifierConfig
+    from wav2vec_heart_sounds_tpu.signal import jaxproc
+    from wav2vec_heart_sounds_tpu.train.classifier import SupervisedTrainer
+    from wav2vec_heart_sounds_tpu.data.loader import Batcher
+
+    win_len = int(round(window_s * fs))
+    raw = _raw_batch(batch_size, fs_in, window_s)
+
+    cfg = ClassifierConfig(num_classes=2, num_channels=1, head_hidden=(512, 512, 512),
+                           random_init=True, fs=fs)
+    model, variables = build_classifier(cfg, jax.random.key(0), win_len)
+    trainer = SupervisedTrainer(model, variables, optimizer_name="sgd", lr=1e-3,
+                                classifier_config=cfg, log=lambda s: None)
+
+    labels = jnp.asarray(np.arange(batch_size) % 2, jnp.int32)
+    valid = jnp.ones((batch_size,), jnp.float32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    raw_dev = jax.device_put(jnp.asarray(raw))
+
+    if mode == "preproc":
+        step_fn = jax.jit(lambda x: jaxproc.preprocess_pcg(x, fs_in, fs))
+
+        def run_step(key):
+            return step_fn(raw_dev)
+    elif mode == "infer":
+        fwd = jax.jit(lambda x: model.apply(trainer.variables,
+                                            jaxproc.preprocess_pcg(x, fs_in, fs)[:, :win_len]))
+
+        def run_step(key):
+            return fwd(raw_dev)
+    else:  # train: fused preprocess + full train step
+        def full(params, loss_params, opt_state, x, key):
+            waves = jaxproc.preprocess_pcg(x, fs_in, fs)[:, :win_len]
+            return trainer._train_step_impl(params, loss_params, opt_state, waves, labels,
+                                            valid, lr, key)
+
+        full_jit = jax.jit(full, donate_argnums=(0, 1, 2))
+        state = trainer.state
+
+        def run_step(key):
+            (state.params, state.loss_params, state.opt_state, loss, _) = full_jit(
+                state.params, state.loss_params, state.opt_state, raw_dev, key)
+            return loss
+
+    # Warmup (compile) then steady-state timing.
+    key = jax.random.key(1)
+    import jax.random as jr
+    for _ in range(3):
+        key, sub = jr.split(key)
+        out = run_step(sub)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        key, sub = jr.split(key)
+        out = run_step(sub)
+    jax.block_until_ready(out)
+    elapsed = time.perf_counter() - t0
+
+    n_devices = jax.device_count()
+    windows_per_sec = batch_size * steps / elapsed / max(1, n_devices)
+
+    baseline = None
+    if BASELINE_FILE.exists():
+        ref = json.loads(BASELINE_FILE.read_text())
+        baseline = ref.get("reference_windows_per_sec")
+    return {
+        "metric": "pcg_4s_windows_per_sec_per_chip_e2e",
+        "value": round(windows_per_sec, 3),
+        "unit": "windows/s/chip",
+        "vs_baseline": round(windows_per_sec / baseline, 3) if baseline else None,
+        "mode": mode,
+        "batch_size": batch_size,
+        "steps": steps,
+        "backend": jax.default_backend(),
+    }
+
+
+def measure_reference_baseline(batch_size: int = 8, steps: int = 2) -> dict:
+    """Measure the reference-equivalent path with torch on this host (its non-CUDA fallback).
+
+    Pipeline: scipy/NumPy per-window preprocessing (the reference's load-time path) + a torch
+    wav2vec2-base forward/backward/SGD step on [B, 64000] — timed per window and extrapolated.
+    """
+    import torch
+    from transformers import Wav2Vec2Config as HFConfig, Wav2Vec2Model as HFModel
+
+    from wav2vec_heart_sounds_tpu.signal import preprocess_pcg
+
+    fs_in, fs = 2000, 16000
+    raw = _raw_batch(batch_size, fs_in, 4.0)
+
+    t0 = time.perf_counter()
+    waves = np.stack([preprocess_pcg(raw[i], fs_in, fs)[:64000] for i in range(batch_size)])
+    prep_time = time.perf_counter() - t0
+
+    torch.manual_seed(0)
+    encoder = HFModel(HFConfig())
+    head = torch.nn.Sequential(
+        torch.nn.Linear(768, 512), torch.nn.ReLU(),
+        torch.nn.Linear(512, 512), torch.nn.ReLU(),
+        torch.nn.Linear(512, 512), torch.nn.ReLU(),
+        torch.nn.Linear(512, 2))
+    params = list(encoder.parameters()) + list(head.parameters())
+    opt = torch.optim.SGD(params, lr=1e-3, momentum=0.9)
+    x = torch.from_numpy(waves.astype(np.float32))
+    y = torch.from_numpy((np.arange(batch_size) % 2).astype(np.int64))
+
+    def step():
+        opt.zero_grad(set_to_none=True)
+        logits = head(encoder(x).last_hidden_state.mean(dim=1))
+        loss = torch.nn.functional.cross_entropy(logits, y)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(params, 5.0)
+        opt.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        step()
+    train_time = (time.perf_counter() - t0) / steps
+
+    per_window = train_time / batch_size + prep_time / batch_size
+    result = {
+        "reference_windows_per_sec": round(1.0 / per_window, 4),
+        "train_step_s_per_batch": round(train_time, 3),
+        "preproc_s_per_window": round(prep_time / batch_size, 4),
+        "batch_size": batch_size,
+        "device": "cpu",
+        "note": ("reference-equivalent torch path (HF wav2vec2-base fwd+bwd+SGD + "
+                 "NumPy preprocessing) measured on this host; the reference repo "
+                 "publishes no numbers and no GPU exists here"),
+    }
+    BASELINE_FILE.write_text(json.dumps(result, indent=2))
+    return result
+
+
+if __name__ == "__main__":
+    if "--measure-baseline" in sys.argv:
+        print(json.dumps(measure_reference_baseline()))
+    else:
+        mode = "train"
+        for arg in sys.argv[1:]:
+            if arg.startswith("--mode="):
+                mode = arg.split("=", 1)[1]
+        print(json.dumps(run_bench(mode=mode)))

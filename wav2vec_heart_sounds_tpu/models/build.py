@@ -1,0 +1,61 @@
+"""Model builders: init, pretrained-weight merge, dtype policy.
+
+Replaces the reference's ``build_wav2vec``/``build_two_branch`` registry
+(src/mpcg_wav2vec/classify/registry.py:9-16) with explicit (module, variables) construction:
+random init always works offline; pretrained encoder weights are merged in from the local HF
+cache when available (LoRA adapters and heads keep their fresh init).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import jax
+import jax.numpy as jnp
+
+from . import hf_port
+from .classifier import ClassifierConfig, Wav2VecClassifier
+
+
+def default_compute_dtype():
+    """bfloat16 on accelerator backends (MXU-native), float32 on CPU tests."""
+    return jnp.float32 if jax.default_backend() == "cpu" else jnp.bfloat16
+
+
+def _merge(base: dict, loaded: dict) -> dict:
+    """Recursively overwrite ``base`` leaves with ``loaded`` where paths match."""
+    out = dict(base)
+    for k, v in loaded.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = _merge(out[k], v)
+        else:
+            out[k] = jnp.asarray(v)
+    return out
+
+
+def build_classifier(cfg: ClassifierConfig, key: jax.Array, input_len: int,
+                     dtype=None) -> tuple[Wav2VecClassifier, dict]:
+    """Construct + init a classifier; load pretrained encoder weights when requested.
+
+    If the HF checkpoint is unavailable (offline, no cache) the encoder silently stays
+    random-init — the reference's offline-skip convention (tests/test_classify.py:6-8).
+    """
+    dtype = dtype or default_compute_dtype()
+    if not cfg.random_init:
+        loaded = hf_port.load_pretrained_encoder(cfg.pretrained_name)
+        if loaded is not None:
+            enc_cfg, enc_params = loaded
+            cfg = replace(cfg, encoder=enc_cfg)
+        else:
+            enc_params = None
+    else:
+        enc_params = None
+
+    model = Wav2VecClassifier(cfg, dtype=dtype)
+    shape = (1, input_len) if cfg.num_channels == 1 else (1, input_len, cfg.num_channels)
+    variables = model.init(key, jnp.zeros(shape, jnp.float32))
+    if enc_params is not None:
+        params = dict(variables["params"])
+        params["encoder"] = _merge(params["encoder"], enc_params)
+        variables = {"params": params}
+    return model, variables
