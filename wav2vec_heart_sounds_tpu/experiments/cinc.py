@@ -84,7 +84,7 @@ def run(
         train_ds = FragmentDataset(frags["train"], fs=fs, channel=channel)
         valid_ds = FragmentDataset(frags["valid"], fs=fs, channel=valid_channel)
         trainer = SupervisedTrainer(model, variables, optimizer_name=optimizer, lr=lr,
-                                    classifier_config=bcfg, mesh=mesh, seed=seed)
+                                    classifier_config=bcfg, mesh=mesh, seed=seed, log_dir=log_dir)
         trainer.fit(make_loader(train_ds, batch_size, True, seed, win_len),
                     make_loader(valid_ds, batch_size, False, seed, win_len),
                     train_epochs, max_batches, label=label)
@@ -96,7 +96,7 @@ def run(
         fusion = two_branch_pcg_ecg((pcg_model, pcg_vars), (ecg_model, ecg_vars))
         head_vars = fusion.init_head(jax.random.key(seed + 1))
         trainer = SupervisedTrainer(fusion, head_vars, optimizer_name=optimizer, lr=lr,
-                                    mesh=mesh, seed=seed)
+                                    mesh=mesh, seed=seed, log_dir=log_dir)
         train_ds = FragmentDataset(frags["train"], fs=fs, channel=-1)
         valid_ds = FragmentDataset(frags["valid"], fs=fs, channel=-1)
         trainer.fit(make_loader(train_ds, batch_size, True, seed, win_len),
@@ -142,6 +142,7 @@ def run_leave_out_db(
     lr: float = 1e-3,
     max_batches: int | None = None,
     results_json: str | None = None,
+    log_dir: str | None = None,
     mesh=None,
     seed: int = 0,
     encoder_config=None,
@@ -169,7 +170,7 @@ def run_leave_out_db(
     bcfg = _branch_config(fs, random_init, encoder_config)
     model, variables = build_classifier(bcfg, jax.random.key(seed), win_len)
     trainer = SupervisedTrainer(model, variables, optimizer_name=optimizer, lr=lr,
-                                classifier_config=bcfg, mesh=mesh, seed=seed)
+                                classifier_config=bcfg, mesh=mesh, seed=seed, log_dir=log_dir)
     trainer.fit(make_loader(FragmentDataset(train_frags, fs=fs, channel=0),
                             batch_size, True, seed, win_len),
                 make_loader(FragmentDataset(valid_frags, fs=fs, channel=0),

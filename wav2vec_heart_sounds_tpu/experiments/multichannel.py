@@ -76,7 +76,7 @@ def run(
                  if loss == "contrastive-focal" else None)
     trainer = SupervisedTrainer(model, variables, optimizer_name=optimizer, lr=lr,
                                 criterion=criterion, classifier_config=ccfg,
-                                mesh=mesh, seed=seed)
+                                mesh=mesh, seed=seed, log_dir=log_dir)
     trainer.fit(make_loader(train_ds, batch_size, True, seed, win_len),
                 make_loader(valid_ds, batch_size, False, seed, win_len),
                 epochs, max_batches)

@@ -90,7 +90,7 @@ def run(
                             **enc_kw)
     model, variables = build_classifier(ccfg, jax.random.key(seed), win_len)
     trainer = SupervisedTrainer(model, variables, optimizer_name=optimizer, lr=lr,
-                                classifier_config=ccfg, mesh=mesh, seed=seed)
+                                classifier_config=ccfg, mesh=mesh, seed=seed, log_dir=log_dir)
 
     for spec, epochs, _letskip in schedule.resolved_stages():
         frags = _stage_fragments(spec, fs, window, float(spec.proportion)

@@ -61,10 +61,14 @@ class SupervisedTrainer:
         mesh=None,
         seed: int = 0,
         log: Callable[[str], None] = print,
+        log_dir: str | None = None,
     ):
+        from ..utils.observe import ScalarLogger
+
         self.model = model
         self.mesh = mesh
         self.log = log
+        self.scalars = ScalarLogger(log_dir)
         self.batch_transform = batch_transform
         self.criterion = criterion
         self.key = jax.random.key(seed)
@@ -164,20 +168,25 @@ class SupervisedTrainer:
         best_mcc = -1.0
         best_params = None
         prefix = f"{label} " if label else ""
+        tag = label.strip("[] ").replace(" ", "_") or "run"
         for epoch in range(1, epochs + 1):
             t0 = time.time()
             train_cm, train_loss = self._run_epoch(train_batcher, True, max_batches)
             self.state.epoch += 1
             line = (f"{prefix}epoch {epoch}/{epochs}: loss={train_loss:.3f} "
                     f"train {train_cm} [{time.time() - t0:.1f}s]")
+            self.scalars.scalars(f"{tag}/train", train_cm.stats(), self.state.epoch)
+            self.scalars.scalar(f"{tag}/train_loss", train_loss, self.state.epoch)
             if valid_batcher is not None:
                 valid_cm, _ = self._run_epoch(valid_batcher, False, max_batches)
                 mcc = valid_cm.stats()["mcc"]
                 line += f" | valid {valid_cm}"
+                self.scalars.scalars(f"{tag}/valid", valid_cm.stats(), self.state.epoch)
                 if mcc > best_mcc:
                     best_mcc = mcc
                     best_params = jax.device_get(self.state.params)
             self.log(line)
+        self.scalars.flush()
         if valid_batcher is not None and best_params is not None:
             self.state.params = replicate(
                 jax.tree_util.tree_map(jnp.asarray, best_params), self.mesh)
@@ -186,3 +195,41 @@ class SupervisedTrainer:
     @property
     def variables(self):
         return {"params": self.state.params}
+
+    # --- optional on-disk checkpointing (an extension: the reference keeps classification
+    # checkpoints in memory only, src/mpcg_wav2vec/classify/trainer.py:90-112) ---------
+
+    def save(self, path: str) -> str:
+        import os
+
+        from flax import serialization
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        payload = {"epoch": self.state.epoch,
+                   "params": jax.device_get(self.state.params),
+                   "loss_params": jax.device_get(self.state.loss_params),
+                   "opt_state": jax.device_get(self.state.opt_state)}
+        with open(path, "wb") as fh:
+            fh.write(serialization.to_bytes(payload))
+        return path
+
+    def restore(self, path: str) -> bool:
+        import os
+
+        from flax import serialization
+
+        if not path or not os.path.exists(path):
+            return False
+        template = {"epoch": 0,
+                    "params": jax.device_get(self.state.params),
+                    "loss_params": jax.device_get(self.state.loss_params),
+                    "opt_state": jax.device_get(self.state.opt_state)}
+        with open(path, "rb") as fh:
+            payload = serialization.from_bytes(template, fh.read())
+        as_dev = lambda tree: replicate(
+            jax.tree_util.tree_map(jnp.asarray, tree), self.mesh)
+        self.state = TrainState(params=as_dev(payload["params"]),
+                                loss_params=as_dev(payload["loss_params"]),
+                                opt_state=as_dev(payload["opt_state"]),
+                                epoch=int(payload["epoch"]))
+        return True
