@@ -50,16 +50,16 @@ class DelayPredictor(nn.Module):
 
 def _delay_channel(x: jnp.ndarray, delays: jnp.ndarray, kernel_size: int,
                    window: jnp.ndarray) -> jnp.ndarray:
-    """Fractionally delay ``x`` [B, T] by per-sample ``delays`` [B, T] (dynamic sinc)."""
-    half = kernel_size // 2
-    t_idx = jnp.arange(-half, half + 1, dtype=x.dtype)                 # [K]
-    kernel = jnp.sinc(t_idx[None, None, :] - delays[:, :, None]) * window[None, None, :]
-    kernel = kernel / jnp.sum(kernel, axis=-1, keepdims=True)
+    """Fractionally delay ``x`` [B, T] by per-sample ``delays`` [B, T] (dynamic sinc).
 
-    padded = jnp.pad(x, [(0, 0), (half, half)], mode="reflect")
-    T = x.shape[-1]
-    shifted = jnp.stack([padded[:, k:k + T] for k in range(kernel_size)], axis=-1)  # [B,T,K]
-    return jnp.einsum("btk,btk->bt", shifted, kernel)
+    Dispatches to the fused Pallas kernel on TPU (ops/pallas/beamformer.py) — sinc build,
+    normalisation and contraction in one VMEM pass with analytic VJP — and to the XLA
+    reference elsewhere.
+    """
+    from ..ops.pallas.beamformer import delay_channel
+
+    return delay_channel(x.astype(jnp.float32), delays.astype(jnp.float32), kernel_size,
+                         np.asarray(window, dtype=np.float32))
 
 
 class TimeVaryingSincBeamformer(nn.Module):
