@@ -16,9 +16,36 @@ import pandas as pd
 from tqdm import tqdm
 
 from ..augment import AugmentConfig, augment_pcg, augment_pcg_ecg
-from ..signal import WindowSpec, preprocess_ecg, preprocess_pcg, segment
+from ..signal import WindowSpec, segment
 from . import wfdb_io
 from .fragments import Fragment, FragmentDataset, class_counts
+
+
+def _use_native() -> bool:
+    from .. import native
+
+    return os.environ.get("W2VHS_NO_NATIVE") != "1" and native.available()
+
+
+def preprocess_pcg(x, fs_in, fs_out):
+    """PCG chain via the C++ fast path when available, NumPy oracle otherwise."""
+    if _use_native():
+        from .. import native
+
+        return native.preprocess_pcg(x, fs_in, fs_out)
+    from ..signal import preprocess_pcg as oracle
+
+    return oracle(x, fs_in, fs_out)
+
+
+def preprocess_ecg(x, fs_in, fs_out):
+    if _use_native():
+        from .. import native
+
+        return native.preprocess_ecg(x, fs_in, fs_out)
+    from ..signal import preprocess_ecg as oracle
+
+    return oracle(x, fs_in, fs_out)
 
 LABEL_COLUMNS = ("abnormality", "label", "diagnosis")
 

@@ -17,8 +17,8 @@ from scipy.io import wavfile
 from tqdm import tqdm
 
 from ..augment import AugmentConfig, augment_multi_pcg
-from ..signal import WindowSpec, preprocess_ecg, preprocess_pcg, segment
-from .cinc import binary_label, label_column, read_split
+from ..signal import WindowSpec, segment
+from .cinc import binary_label, label_column, preprocess_ecg, preprocess_pcg, read_split
 from .fragments import Fragment, FragmentDataset
 
 # Microphone / lead -> WAV column index.
