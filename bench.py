@@ -35,8 +35,52 @@ def _raw_batch(batch_size: int, fs_in: int, seconds: float, seed: int = 0) -> np
     return batch.astype(np.float32)
 
 
+def run_gen_bench(batch_size: int = 8, steps: int = 3) -> dict:
+    """DiffWave fast-sampling throughput: generated audio-seconds per wall second."""
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vec_heart_sounds_tpu.models.diffusion import DiffWave, DiffWaveConfig
+    from wav2vec_heart_sounds_tpu.models.diffusion.samplers import diffwave_sample
+
+    cfg = DiffWaveConfig()
+    model = DiffWave(cfg)
+    frames = 96
+    rng = np.random.default_rng(0)
+    con = jnp.asarray(rng.uniform(0, 1, (batch_size, cfg.n_mels, frames)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 2, batch_size), jnp.int32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, cfg.hop_length * frames)),
+                           jnp.zeros((1,), jnp.int32), con[:1], labels[:1])
+
+    key = jax.random.key(1)
+    audio, sr = diffwave_sample(model, variables, con, labels, key, fast=True)
+    jax.block_until_ready(audio)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        audio, sr = diffwave_sample(model, variables, con, labels, sub, fast=True)
+    jax.block_until_ready(audio)
+    elapsed = time.perf_counter() - t0
+
+    audio_seconds = batch_size * steps * (cfg.hop_length * frames / sr)
+    baseline = None
+    if BASELINE_FILE.exists():
+        baseline = json.loads(BASELINE_FILE.read_text()).get("reference_gen_audio_s_per_s")
+    value = audio_seconds / elapsed
+    return {
+        "metric": "diffwave_fast_sampling_audio_s_per_s",
+        "value": round(value, 3),
+        "unit": "audio-s/s",
+        "vs_baseline": round(value / baseline, 3) if baseline else None,
+        "batch_size": batch_size,
+        "backend": jax.default_backend(),
+    }
+
+
 def run_bench(batch_size: int = 64, fs: int = 16000, window_s: float = 4.0,
               steps: int = 20, mode: str = "train", fs_in: int = 2000) -> dict:
+    if mode == "gen":
+        return run_gen_bench()
     import jax
     import jax.numpy as jnp
 

@@ -139,8 +139,11 @@ class SupervisedTrainer:
 
     def _run_epoch(self, batcher, train: bool, max_batches: int | None,
                    desc: str = "") -> tuple[ConfusionMatrix, float]:
+        """One epoch. Device syncs are deferred to the end of the epoch: the step's loss and
+        predictions stay on device while the host assembles (and augments) the next batch,
+        so host data work overlaps device compute without an explicit prefetch thread."""
         cm = ConfusionMatrix()
-        running, n = 0.0, 0
+        pending: list[tuple] = []
         lr = jnp.asarray(self.schedule(self.state.epoch), jnp.float32)
         for i, batch in enumerate(batcher):
             if max_batches is not None and i >= max_batches:
@@ -158,10 +161,12 @@ class SupervisedTrainer:
                 loss, logits = self._eval_step(self.state.params, self.state.loss_params,
                                                x, y, valid)
                 preds = jnp.argmax(logits, axis=1)
-            cm.update(batch["label"], np.asarray(preds), batch["valid"])
+            pending.append((loss, preds, batch["label"], batch["valid"]))
+        running = 0.0
+        for loss, preds, labels, valid in pending:
+            cm.update(labels, np.asarray(preds), valid)
             running += float(loss)
-            n += 1
-        return cm, running / max(1, n)
+        return cm, running / max(1, len(pending))
 
     def fit(self, train_batcher, valid_batcher, epochs: int,
             max_batches: int | None = None, label: str = "") -> float:
