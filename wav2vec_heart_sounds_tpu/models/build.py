@@ -33,6 +33,17 @@ def _merge(base: dict, loaded: dict) -> dict:
     return out
 
 
+def build_two_branch(pcg_cfg: ClassifierConfig, ecg_cfg: ClassifierConfig, key: jax.Array,
+                     input_len: int, num_classes: int = 2, dtype=None):
+    """Fresh (untrained) two-branch fusion; branches are trained separately upstream."""
+    from .fusion import two_branch_pcg_ecg
+
+    k1, k2 = jax.random.split(key)
+    pcg = build_classifier(pcg_cfg, k1, input_len, dtype)
+    ecg = build_classifier(ecg_cfg, k2, input_len, dtype)
+    return two_branch_pcg_ecg(pcg, ecg, num_classes=num_classes)
+
+
 def build_classifier(cfg: ClassifierConfig, key: jax.Array, input_len: int,
                      dtype=None) -> tuple[Wav2VecClassifier, dict]:
     """Construct + init a classifier; load pretrained encoder weights when requested.

@@ -52,6 +52,7 @@ class Wav2Vec2Config:
     lora_rank: int = 0          # 0 disables LoRA; reference uses r=8
     lora_alpha: float = 16.0
     lora_dropout: float = 0.05
+    remat: bool = False         # rematerialise encoder layers (memory <- FLOPs trade)
 
     @classmethod
     def tiny(cls, **kw) -> "Wav2Vec2Config":
@@ -227,9 +228,10 @@ class Wav2Vec2Model(nn.Module):
         h = h + pos
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm")(h)
         h = nn.Dropout(cfg.hidden_dropout, deterministic=not train)(h)
+        layer_cls = nn.remat(EncoderLayer, static_argnums=(2,)) if cfg.remat else EncoderLayer
         for i in range(cfg.num_layers):
-            h = EncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}")(
-                h, deterministic=not train)
+            h = layer_cls(cfg, dtype=self.dtype, name=f"layers_{i}")(
+                h, not train)
         return h
 
 
