@@ -24,6 +24,11 @@ from pathlib import Path
 
 import numpy as np
 
+# Persistent compilation cache: TPU compiles through the remote-compile tunnel are slow,
+# so pay them once across bench/driver invocations.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(Path(__file__).parent / ".jax_cache"))
+
 BASELINE_FILE = Path(__file__).parent / "BASELINE_MEASURED.json"
 
 

@@ -7,13 +7,20 @@ Prints one JSON line per configuration.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(Path(__file__).resolve().parent.parent / ".jax_cache"))
 
 import numpy as np
+
+
+def log(msg):
+    print(f"# {msg}", flush=True)
 
 
 def main():
@@ -49,15 +56,20 @@ def main():
         raw_dev = jax.device_put(jnp.asarray(raw))
 
         # individual preprocessing stages
+        log(f"B={B} compiling resample")
         rs = jax.jit(lambda x: resample_op.resample(x, fs_in, fs))
         resampled = rs(raw_dev)
         dt_resample = timeit(rs, raw_dev)
+        log(f"resample {dt_resample*1e3:.2f} ms; compiling despike")
         ds = jax.jit(lambda x: despike_op.remove_spikes(x, float(fs)))
         dt_despike = timeit(ds, resampled)
+        log(f"despike {dt_despike*1e3:.2f} ms; compiling bandpass")
         bp = jax.jit(lambda x: iir_op.bandpass_cascade(x, fs, 25.0, 450.0))
         dt_bandpass = timeit(bp, resampled)
+        log(f"bandpass {dt_bandpass*1e3:.2f} ms; compiling full preproc")
         pp = jax.jit(lambda x: jaxproc.preprocess_pcg(x, fs_in, fs))
         dt_preproc = timeit(pp, raw_dev)
+        log(f"preproc {dt_preproc*1e3:.2f} ms; building model")
 
         cfg = ClassifierConfig(num_classes=2, num_channels=1, head_hidden=(512, 512, 512),
                                random_init=True, fs=fs)
@@ -65,8 +77,10 @@ def main():
         trainer = SupervisedTrainer(model, variables, optimizer_name="sgd", lr=1e-3,
                                     classifier_config=cfg, log=lambda s: None)
         waves = pp(raw_dev)[:, :win_len]
+        log("compiling forward")
         fwd = jax.jit(lambda x: model.apply(trainer.variables, x))
         dt_fwd = timeit(fwd, waves)
+        log(f"forward {dt_fwd*1e3:.2f} ms; compiling train step")
 
         labels = jnp.asarray(np.arange(B) % 2, jnp.int32)
         valid = jnp.ones((B,), jnp.float32)

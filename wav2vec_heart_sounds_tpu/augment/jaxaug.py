@@ -88,6 +88,10 @@ def parametric_eq(key: jax.Array, x: jnp.ndarray, fs: float, low: float, high: f
                   num_bands: int = 5) -> jnp.ndarray:
     """Blend with a stack of random narrow band sections (edges shared across the batch)."""
     nyq = fs / 2.0
+    # Keep the random band inside the open (0, Nyquist) interval at any sampling rate
+    # (same guard as the host pipeline's parametric_eq).
+    high = min(high, 0.99 * nyq)
+    low = min(low, 0.5 * high)
     coloured = x
     for i in range(num_bands):
         k1, k2 = jax.random.split(jax.random.fold_in(key, i))

@@ -15,13 +15,15 @@ import os
 import numpy as np
 from scipy import signal as sps
 
-from ..data import wfdb_io
 from ..signal.normalize import abs_max_normalise
 from .primitives import default_rng, random_crop
 
 
-def _read_random_window(path: str, rng: np.random.Generator,
-                        max_seconds: float = -1.0) -> wfdb_io.Record:
+def _read_random_window(path: str, rng: np.random.Generator, max_seconds: float = -1.0):
+    # Imported lazily: data.* imports augment.* for its pipelines, so a top-level import
+    # here would be circular.
+    from ..data import wfdb_io
+
     header = wfdb_io.read_header(path)
     total = header.sig_len
     want = total if max_seconds <= -1.0 else round(max_seconds * header.fs)
