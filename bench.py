@@ -109,29 +109,27 @@ def run_bench(batch_size: int = 64, fs: int = 16000, window_s: float = 4.0,
     lr = jnp.asarray(1e-3, jnp.float32)
     raw_dev = jax.device_put(jnp.asarray(raw))
 
+    def prep(x):
+        # Stage-jitted chain: intermediates stay on device; compiles in pieces (one fused
+        # program is pathologically slow to compile on this toolchain).
+        return jaxproc.preprocess_pcg(x, fs_in, fs)[:, :win_len]
+
     if mode == "preproc":
-        step_fn = jax.jit(lambda x: jaxproc.preprocess_pcg(x, fs_in, fs))
-
         def run_step(key):
-            return step_fn(raw_dev)
+            return prep(raw_dev)
     elif mode == "infer":
-        fwd = jax.jit(lambda x: model.apply(trainer.variables,
-                                            jaxproc.preprocess_pcg(x, fs_in, fs)[:, :win_len]))
+        fwd = jax.jit(lambda x: model.apply(trainer.variables, x))
 
         def run_step(key):
-            return fwd(raw_dev)
-    else:  # train: fused preprocess + full train step
-        def full(params, loss_params, opt_state, x, key):
-            waves = jaxproc.preprocess_pcg(x, fs_in, fs)[:, :win_len]
-            return trainer._train_step_impl(params, loss_params, opt_state, waves, labels,
-                                            valid, lr, key)
-
-        full_jit = jax.jit(full, donate_argnums=(0, 1, 2))
+            return fwd(prep(raw_dev))
+    else:  # train: preprocess chained into the train-step jit, all device-resident
         state = trainer.state
 
         def run_step(key):
-            (state.params, state.loss_params, state.opt_state, loss, _) = full_jit(
-                state.params, state.loss_params, state.opt_state, raw_dev, key)
+            waves = prep(raw_dev)
+            (state.params, state.loss_params, state.opt_state, loss, _) = trainer._train_step(
+                state.params, state.loss_params, state.opt_state, waves, labels, valid,
+                lr, key)
             return loss
 
     # Warmup (compile) then steady-state timing.

@@ -66,8 +66,8 @@ def main():
         log(f"despike {dt_despike*1e3:.2f} ms; compiling bandpass")
         bp = jax.jit(lambda x: iir_op.bandpass_cascade(x, fs, 25.0, 450.0))
         dt_bandpass = timeit(bp, resampled)
-        log(f"bandpass {dt_bandpass*1e3:.2f} ms; compiling full preproc")
-        pp = jax.jit(lambda x: jaxproc.preprocess_pcg(x, fs_in, fs))
+        log(f"bandpass {dt_bandpass*1e3:.2f} ms; running stage-jitted preproc chain")
+        pp = lambda x: jaxproc.preprocess_pcg(x, fs_in, fs)
         dt_preproc = timeit(pp, raw_dev)
         log(f"preproc {dt_preproc*1e3:.2f} ms; building model")
 

@@ -26,13 +26,18 @@ from .filters import ECG_BAND, PCG_BAND
 from .segment import WindowSpec
 from .spectrogram import MelConfig
 
-# Re-exported batched primitives.
+# Re-exported batched primitives. The heavyweight stages are jitted individually: on this
+# toolchain, compiling resample+despike+IIR+normalise as ONE program is pathologically slow
+# (the while_loop/conv/scan combination blows up compile time), while the pieces each
+# compile quickly and XLA still keeps all intermediates on device between them. Users who
+# want a single fused program can wrap the chain in their own jit (inner jits inline).
 lowpass = _iir.lowpass
 highpass = _iir.highpass
-bandpass_cascade = _iir.bandpass_cascade
-resample = _resample.resample
+bandpass_cascade = jax.jit(_iir.bandpass_cascade,
+                           static_argnames=("fs", "low", "high", "order"))
+resample = jax.jit(_resample.resample, static_argnames=("fs_in", "fs_out"))
 remove_spikes = _despike.remove_spikes
-abs_max_normalise = _norm.abs_max_normalise
+abs_max_normalise = jax.jit(_norm.abs_max_normalise)
 minmax_normalise = _norm.minmax_normalise
 z_normalise = _norm.z_normalise
 kpeak_normalise = _norm.kpeak_normalise
@@ -48,10 +53,13 @@ def _as_batched(x: jnp.ndarray) -> tuple[jnp.ndarray, bool]:
     return x, False
 
 
-@partial(jax.jit, static_argnames=("fs_in", "fs_out", "despike"))
 def preprocess_pcg(x: jnp.ndarray, fs_in: float, fs_out: float, *,
                    despike: bool = True) -> jnp.ndarray:
-    """PCG chain on ``[B, T]``: resample -> despike -> 25-450 Hz cascade -> abs-max."""
+    """PCG chain on ``[B, T]``: resample -> despike -> 25-450 Hz cascade -> abs-max.
+
+    Composed of individually-jitted stages (all intermediates stay on device); wrap in an
+    outer ``jax.jit`` for a single fused program.
+    """
     x, squeeze = _as_batched(x)
     x = resample(x, fs_in, fs_out)
     if despike:
@@ -61,7 +69,6 @@ def preprocess_pcg(x: jnp.ndarray, fs_in: float, fs_out: float, *,
     return x[0] if squeeze else x
 
 
-@partial(jax.jit, static_argnames=("fs_in", "fs_out"))
 def preprocess_ecg(x: jnp.ndarray, fs_in: float, fs_out: float) -> jnp.ndarray:
     """ECG chain on ``[B, T]``: resample -> 2-40 Hz cascade -> abs-max."""
     x, squeeze = _as_batched(x)
