@@ -78,8 +78,8 @@ def main():
                                     classifier_config=cfg, log=lambda s: None)
         waves = pp(raw_dev)[:, :win_len]
         log("compiling forward")
-        fwd = jax.jit(lambda x: model.apply(trainer.variables, x))
-        dt_fwd = timeit(fwd, waves)
+        fwd = jax.jit(lambda v, x: model.apply(v, x))
+        dt_fwd = timeit(fwd, trainer.variables, waves)
         log(f"forward {dt_fwd*1e3:.2f} ms; compiling train step")
 
         labels = jnp.asarray(np.arange(B) % 2, jnp.int32)

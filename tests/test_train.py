@@ -168,18 +168,27 @@ def test_neural_svm_probe():
     assert 0.0 <= stats["accuracy"] <= 1.0
 
 
-def test_fusion_head_training():
+def test_fusion_training_end_to_end():
     from wav2vec_heart_sounds_tpu.models import two_branch_pcg_ecg
+    from wav2vec_heart_sounds_tpu.train import evaluate, make_apply_fn
+
     m1, p1, _ = _tiny_classifier()
     m2, p2, _ = _tiny_classifier()
-    fusion = two_branch_pcg_ecg((m1, p1), (m2, p2))
-    head_vars = fusion.init_head(jax.random.key(0))
+    fusion, fusion_vars = two_branch_pcg_ecg((m1, p1), (m2, p2), key=jax.random.key(0))
+    assert set(fusion_vars["params"]) == {"head", "branch_0", "branch_1"}
+    # snapshot before fitting: the donated train step consumes the original buffers
+    before = np.asarray(jax.tree_util.tree_leaves(p1["params"])[0]).copy()
 
     rng = np.random.default_rng(0)
     frags = [Fragment(rng.normal(size=(800, 2)).astype(np.float32), i % 2, f"p{i}")
              for i in range(8)]
     ds = FragmentDataset(frags, fs=1000)
-    trainer = SupervisedTrainer(fusion, head_vars, optimizer_name="adam", lr=1e-3,
+    trainer = SupervisedTrainer(fusion, fusion_vars, optimizer_name="adam", lr=1e-3,
                                 log=lambda s: None)
     best = trainer.fit(Batcher(ds, 4, True), Batcher(ds, 4, False), epochs=1)
     assert np.isfinite(best)
+    # branch encoders fine-tune during fusion fitting (reference semantics)
+    after = jax.tree_util.tree_leaves(trainer.state.params["branch_0"])[0]
+    assert not np.array_equal(before, np.asarray(after))
+    metrics = evaluate(make_apply_fn(fusion, trainer.variables), Batcher(ds, 4, False))
+    assert "patient" in metrics

@@ -53,8 +53,9 @@ class Batcher:
 
     def __len__(self) -> int:
         n = len(self.dataset)
-        return n // self.batch_size if (self.train or self.drop_last) \
-            else -(-n // self.batch_size)
+        if self.train:
+            return max(1, n // self.batch_size)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.dataset)
@@ -63,13 +64,15 @@ class Batcher:
         from .labels import balance_weights
         rng = np.random.default_rng(self.seed + self.epoch)
         w = balance_weights(self.dataset.labels)
-        return rng.choice(n, size=n, replace=True, p=w / w.sum())
+        # at least one full batch even for tiny datasets (bootstrap with replacement)
+        draws = max(n, self.batch_size)
+        return rng.choice(n, size=draws, replace=True, p=w / w.sum())
 
     def __iter__(self) -> Iterator[dict]:
         idx = self._epoch_indices()
         self.epoch += 1
         bs = self.batch_size
-        n_batches = len(idx) // bs if (self.train or self.drop_last) else -(-len(idx) // bs)
+        n_batches = len(self)
         for b in range(n_batches):
             chunk = idx[b * bs:(b + 1) * bs]
             valid = np.ones(bs, dtype=bool)

@@ -93,9 +93,10 @@ def run(
     if two_branch:
         pcg_model, pcg_vars = branch(0, "[1/3 PCG branch]")
         ecg_model, ecg_vars = branch(1, "[2/3 ECG branch]")
-        fusion = two_branch_pcg_ecg((pcg_model, pcg_vars), (ecg_model, ecg_vars))
-        head_vars = fusion.init_head(jax.random.key(seed + 1))
-        trainer = SupervisedTrainer(fusion, head_vars, optimizer_name=optimizer, lr=lr,
+        fusion, fusion_vars = two_branch_pcg_ecg((pcg_model, pcg_vars),
+                                                 (ecg_model, ecg_vars),
+                                                 key=jax.random.key(seed + 1))
+        trainer = SupervisedTrainer(fusion, fusion_vars, optimizer_name=optimizer, lr=lr,
                                     mesh=mesh, seed=seed, log_dir=log_dir)
         train_ds = FragmentDataset(frags["train"], fs=fs, channel=-1)
         valid_ds = FragmentDataset(frags["valid"], fs=fs, channel=-1)

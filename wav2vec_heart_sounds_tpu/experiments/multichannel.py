@@ -85,12 +85,9 @@ def run(
                                make_loader(test_ds, batch_size, False, seed, win_len),
                                max_batches)}
     if fit_svm:
-        final_vars = trainer.variables
+        from ..train.evaluate import make_encode_fn
 
-        @jax.jit
-        def encode(x):
-            return model.apply(final_vars, x, method=Wav2VecClassifier.encode)
-
+        encode = make_encode_fn(model, trainer.variables)
         svm = NeuralSVM(encode).fit(make_loader(train_ds, batch_size, False, seed, win_len))
         metrics["svm"] = svm.evaluate(make_loader(test_ds, batch_size, False, seed, win_len))
 

@@ -2,9 +2,12 @@
 
 Contract from reference src/mpcg_wav2vec/classify/fusion.py:17-38: each input channel goes
 through its own Wav2Vec encoder; the mean-pooled 768-d features are concatenated and
-classified by a 3-layer MLP (2h -> h -> classes, h = 128). Branches are trained separately
-upstream and carried here as (module, params) pairs; only the fusion head's params live in
-this module, so the standard trainer optimises exactly the reference's trainable surface.
+classified by a 3-layer MLP (2h -> h -> classes, h = 128). Branches arrive pre-trained and
+keep fine-tuning during fusion fitting (the reference optimises all fusion parameters).
+
+Parameters are one explicit bundle ``{"head": ..., "branch_i": ...}`` passed through
+``apply`` — never closed over — so jitted programs ship no weight constants (the remote
+compiler rejects multi-hundred-MB constant-embedded HLO).
 """
 
 from __future__ import annotations
@@ -33,41 +36,55 @@ class FusionHead(nn.Module):
 
 
 class EncoderFusion:
-    """Orchestrates N frozen branch encoders + one trainable fusion head.
+    """N branch encoders + fusion head behind the classifier (model, variables) surface."""
 
-    Exposes the same (encode / apply) surface the trainer expects from a classifier:
-    branch params are closed over as constants (they are not updated during fusion fitting,
-    mirroring the reference where branch training happens before fusion fitting).
-    """
-
-    def __init__(self, branches: list[tuple[Wav2VecClassifier, Any]], num_classes: int = 2,
+    def __init__(self, branch_models: list[Wav2VecClassifier], num_classes: int = 2,
                  hidden: int = 128, dtype: Any = jnp.float32):
-        self.branches = branches
+        self.branch_models = branch_models
         self.head = FusionHead(num_classes=num_classes, hidden=hidden, dtype=dtype)
         self.feature_dim = sum(
-            getattr(model.config.encoder, "hidden_size", HIDDEN) for model, _ in branches)
+            getattr(m.config.encoder, "hidden_size", HIDDEN) for m in branch_models)
 
-    def init_head(self, key: jax.Array):
+    def init_variables(self, key: jax.Array, branch_variables: list[dict]) -> dict:
+        """Bundle pre-trained branch params with a fresh fusion-head init."""
         feats = jnp.zeros((1, self.feature_dim), jnp.float32)
-        return self.head.init(key, feats)
+        head = self.head.init(key, feats)["params"]
+        params = {"head": head}
+        for i, variables in enumerate(branch_variables):
+            params[f"branch_{i}"] = variables["params"]
+        return {"params": params}
 
-    def encode(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
-        """``x``: [B, T, C] with one channel per branch -> [B, 768 * n_branches]."""
-        if x.ndim != 3 or x.shape[2] != len(self.branches):
+    def encode(self, variables: dict, x: jnp.ndarray, *, train: bool = False,
+               mask_key=None, rngs=None) -> jnp.ndarray:
+        """``x``: [B, T, C], one channel per branch -> concatenated pooled features."""
+        if x.ndim != 3 or x.shape[2] != len(self.branch_models):
             raise ValueError(
-                f"Expected [B, T, {len(self.branches)}] input, got {tuple(x.shape)}")
-        feats = [
-            model.apply(params, x[:, :, i], method=Wav2VecClassifier.encode)
-            for i, (model, params) in enumerate(self.branches)
-        ]
+                f"Expected [B, T, {len(self.branch_models)}] input, got {tuple(x.shape)}")
+        p = variables["params"]
+        feats = []
+        for i, model in enumerate(self.branch_models):
+            kwargs = {"train": train}
+            if train and rngs is not None:
+                kwargs["rngs"] = rngs
+            if train and mask_key is not None:
+                kwargs["mask_key"] = jax.random.fold_in(mask_key, i)
+            feats.append(model.apply({"params": p[f"branch_{i}"]}, x[:, :, i],
+                                     method=Wav2VecClassifier.encode, **kwargs))
         return jnp.concatenate(feats, axis=1)
 
-    def apply(self, head_params, x: jnp.ndarray, *, train: bool = False,
+    def apply(self, variables: dict, x: jnp.ndarray, *, train: bool = False,
               mask_key=None, rngs=None) -> jnp.ndarray:
-        return self.head.apply(head_params, self.encode(x, train=train))
+        feats = self.encode(variables, x, train=train, mask_key=mask_key, rngs=rngs)
+        return self.head.apply({"params": variables["params"]["head"]}, feats)
 
 
-def two_branch_pcg_ecg(pcg_branch: tuple[Wav2VecClassifier, Any],
-                       ecg_branch: tuple[Wav2VecClassifier, Any],
-                       num_classes: int = 2) -> EncoderFusion:
-    return EncoderFusion([pcg_branch, ecg_branch], num_classes=num_classes)
+def two_branch_pcg_ecg(pcg_branch: tuple[Wav2VecClassifier, dict],
+                       ecg_branch: tuple[Wav2VecClassifier, dict],
+                       num_classes: int = 2,
+                       key: jax.Array | None = None) -> tuple[EncoderFusion, dict]:
+    """(fusion model, initial variables) from two trained (model, variables) branches."""
+    (pcg_model, pcg_vars), (ecg_model, ecg_vars) = pcg_branch, ecg_branch
+    fusion = EncoderFusion([pcg_model, ecg_model], num_classes=num_classes)
+    variables = fusion.init_variables(key if key is not None else jax.random.key(0),
+                                      [pcg_vars, ecg_vars])
+    return fusion, variables

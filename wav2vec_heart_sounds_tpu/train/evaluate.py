@@ -44,8 +44,24 @@ def evaluate(apply_fn, batcher, max_batches: int | None = None) -> dict:
 
 
 def make_apply_fn(model, variables):
-    """Close a model + params into a jitted logits function."""
-    @jax.jit
+    """Jitted logits function. Params are a jit *argument*, never a closure constant —
+    closed-over weights get embedded into the HLO and blow up remote compilation."""
+    jitted = jax.jit(lambda v, x: model.apply(v, x))
+
     def apply_fn(x):
-        return model.apply(variables, x)
+        return jitted(variables, x)
+
     return apply_fn
+
+
+def make_encode_fn(model, variables, method=None):
+    """Jitted pooled-feature function with params as an argument (for the SVM probe)."""
+    from ..models.classifier import Wav2VecClassifier
+
+    method = method or Wav2VecClassifier.encode
+    jitted = jax.jit(lambda v, x: model.apply(v, x, method=method))
+
+    def encode_fn(x):
+        return jitted(variables, x)
+
+    return encode_fn
