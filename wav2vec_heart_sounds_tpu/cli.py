@@ -80,13 +80,15 @@ def summarize_cmd(results_json, group_by, metrics, out_path):
 @click.option("--prob-contiguous", type=float, default=0.0)
 @click.option("--bf16/--no-bf16", default=True,
               help="bfloat16 compute (TPU equivalent of the reference's --fp16 AMP)")
+@click.option("--crop-frames", type=int, default=None,
+              help="override the conditioning crop (default: generator spec, 96)")
 @click.option("--weights", default="", help="checkpoint to resume from")
 @click.option("--logdir", default=None, help="scalar/sample log directory")
 @click.option("--max-train-batches", type=int, default=None)
 @click.option("--seed", type=int, default=0)
 def gen_train(model_name, data_dir, csv_path, output_dir, epochs, num_classes, batch_size,
               lr, condition_on_ecg, segment_dir, rearrange_cycles, prob_contiguous, bf16,
-              weights, logdir, max_train_batches, seed):
+              crop_frames, weights, logdir, max_train_batches, seed):
     """Train a diffusion generator on CinC records."""
     import jax
     import jax.numpy as jnp
@@ -102,7 +104,7 @@ def gen_train(model_name, data_dir, csv_path, output_dir, epochs, num_classes, b
     signal = "ecg" if condition_on_ecg else "pcg"
     dataset = cinc_generative_dataset(
         data_dir, csv_path, "train", fs=spec.sample_rate, mel=spec.mel(signal),
-        crop_frames=spec.crop_frames, hop_length=spec.hop_length,
+        crop_frames=crop_frames or spec.crop_frames, hop_length=spec.hop_length,
         condition_on_ecg=condition_on_ecg, segment_dir=segment_dir,
         rearrange_cycles=rearrange_cycles, prob_contiguous=prob_contiguous,
     )
@@ -139,9 +141,10 @@ def _init_generator(model, model_name, item, key):
 @click.option("--per-item", type=int, default=1)
 @click.option("--fast/--no-fast", default=True, help="fast sampling (DiffWave)")
 @click.option("--num-steps", type=int, default=None, help="sub-sampled steps (WaveGrad)")
+@click.option("--crop-frames", type=int, default=None)
 @click.option("--seed", type=int, default=0)
 def gen_sample(model_name, weights, data_dir, csv_path, output_dir, num_classes, per_item,
-               fast, num_steps, seed):
+               fast, num_steps, crop_frames, seed):
     """Generate a synthetic dataset from a trained generator."""
     import jax
 
@@ -154,7 +157,7 @@ def gen_sample(model_name, weights, data_dir, csv_path, output_dir, num_classes,
     model = spec.build_model(num_classes)
     dataset = cinc_generative_dataset(
         data_dir, csv_path, "all", fs=spec.sample_rate, mel=spec.mel("pcg"),
-        crop_frames=spec.crop_frames, hop_length=spec.hop_length,
+        crop_frames=crop_frames or spec.crop_frames, hop_length=spec.hop_length,
     )
     variables = _init_generator(model, model_name, dataset[0], jax.random.key(seed))
     trainer = GenerativeTrainer(model, variables, spec.loss, output_dir,
