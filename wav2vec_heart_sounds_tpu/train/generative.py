@@ -188,7 +188,7 @@ class GenerativeTrainer:
         from ..signal.normalize import abs_max_normalise
 
         self.key, sub = jax.random.split(self.key)
-        audio, sr = self.sampler({"params": self.params},
+        audio, sr = self.sampler(self.model, {"params": self.params},
                                  jnp.asarray(sample_batch["con_spec"][:1]),
                                  int(sample_batch["label"][0]), sub)
         wave = abs_max_normalise(np.asarray(audio)[0]).astype(np.float32)
