@@ -59,12 +59,12 @@ def run_gen_bench(batch_size: int = 8, steps: int = 3) -> dict:
 
     key = jax.random.key(1)
     audio, sr = diffwave_sample(model, variables, con, labels, key, fast=True)
-    jax.block_until_ready(audio)
+    float(np.asarray(jax.device_get(audio)).ravel()[0])
     t0 = time.perf_counter()
     for i in range(steps):
         key, sub = jax.random.split(key)
         audio, sr = diffwave_sample(model, variables, con, labels, sub, fast=True)
-    jax.block_until_ready(audio)
+    float(np.asarray(jax.device_get(audio)).ravel()[0])   # forces completion (see train mode)
     elapsed = time.perf_counter() - t0
 
     audio_seconds = batch_size * steps * (cfg.hop_length * frames / sr)
@@ -114,14 +114,19 @@ def run_bench(batch_size: int = 64, fs: int = 16000, window_s: float = 4.0,
         # program is pathologically slow to compile on this toolchain).
         return jaxproc.preprocess_pcg(x, fs_in, fs)[:, :win_len]
 
+    def fresh_input(key):
+        # Perturb the input per step so the runtime cannot serve cached results for a
+        # repeated identical pure computation (observed through the axon tunnel).
+        return raw_dev * (1.0 + 1e-6 * jax.random.uniform(key, ()))
+
     if mode == "preproc":
         def run_step(key):
-            return prep(raw_dev)
+            return prep(fresh_input(key))
     elif mode == "infer":
-        fwd = jax.jit(lambda x: model.apply(trainer.variables, x))
+        fwd = jax.jit(lambda v, x: model.apply(v, x))
 
         def run_step(key):
-            return fwd(prep(raw_dev))
+            return fwd(trainer.variables, prep(fresh_input(key)))
     else:  # train: preprocess chained into the train-step jit, all device-resident
         state = trainer.state
 
@@ -132,19 +137,24 @@ def run_bench(batch_size: int = 64, fs: int = 16000, window_s: float = 4.0,
                 lr, key)
             return loss
 
-    # Warmup (compile) then steady-state timing.
+    # Warmup (compile) then steady-state timing. Completion is forced by *fetching* a value
+    # (device_get): block_until_ready does not reliably wait through the axon tunnel, and the
+    # train steps are donation-chained so the final fetch transitively waits for every step.
+    def force(x):
+        return float(np.asarray(jax.device_get(x)).ravel()[0])
+
     key = jax.random.key(1)
     import jax.random as jr
     for _ in range(3):
         key, sub = jr.split(key)
         out = run_step(sub)
-    jax.block_until_ready(out)
+    force(out)
 
     t0 = time.perf_counter()
     for _ in range(steps):
         key, sub = jr.split(key)
         out = run_step(sub)
-    jax.block_until_ready(out)
+    final_value = force(out)
     elapsed = time.perf_counter() - t0
 
     n_devices = jax.device_count()
@@ -163,6 +173,7 @@ def run_bench(batch_size: int = 64, fs: int = 16000, window_s: float = 4.0,
         "batch_size": batch_size,
         "steps": steps,
         "backend": jax.default_backend(),
+        "final_fetch": round(final_value, 6),
     }
 
 

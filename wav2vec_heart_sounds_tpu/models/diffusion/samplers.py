@@ -14,7 +14,7 @@ round-trips.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -56,24 +56,40 @@ def _prepare(conditioner: jnp.ndarray, label) -> tuple[jnp.ndarray, jnp.ndarray]
     return conditioner, label
 
 
-def _reverse_scan(apply_fn, key, conditioner, label, n_samples, steps, c1, c2, sigma):
-    """Shared reverse loop: audio <- (audio - c2*eps)/c1 + sigma*z, clamp."""
-    batch = conditioner.shape[0]
-    key, init_key = jax.random.split(key)
-    audio0 = jax.random.normal(init_key, (batch, n_samples))
-    noise_keys = jax.random.split(key, len(c1))
+@lru_cache(maxsize=64)
+def _jitted_reverse(model, swap_args: bool, n_samples: int,
+                    steps: tuple, c1: tuple, c2: tuple, sigma: tuple):
+    """One compiled reverse process per (model, schedule, length); params are jit args.
 
-    def body(audio, xs):
-        step, c1_n, c2_n, sigma_n, k = xs
-        eps = apply_fn(audio, jnp.full((batch,), step), conditioner, label)
-        audio = (audio - c2_n * eps) / c1_n
-        audio = audio + sigma_n * jax.random.normal(k, audio.shape)
-        return jnp.clip(audio, -1.0, 1.0), None
+    Cached so repeated sampling (e.g. generate_dataset iterating hundreds of items) pays
+    tracing/compilation once.
+    """
 
-    xs = (jnp.asarray(steps), jnp.asarray(c1, jnp.float32), jnp.asarray(c2, jnp.float32),
-          jnp.asarray(sigma, jnp.float32), noise_keys)
-    audio, _ = jax.lax.scan(body, audio0, xs)
-    return audio
+    @jax.jit
+    def run(variables, key, conditioner, label):
+        batch = conditioner.shape[0]
+        key, init_key = jax.random.split(key)
+        audio0 = jax.random.normal(init_key, (batch, n_samples))
+        noise_keys = jax.random.split(key, len(c1))
+
+        def apply_fn(audio, step, cond, lab):
+            if swap_args:   # WaveGrad: (audio, conditioner, noise_level, label)
+                return model.apply(variables, audio, cond, step, lab)
+            return model.apply(variables, audio, step, cond, lab)
+
+        def body(audio, xs):
+            step, c1_n, c2_n, sigma_n, k = xs
+            eps = apply_fn(audio, jnp.full((batch,), step), conditioner, label)
+            audio = (audio - c2_n * eps) / c1_n
+            audio = audio + sigma_n * jax.random.normal(k, audio.shape)
+            return jnp.clip(audio, -1.0, 1.0), None
+
+        xs = (jnp.asarray(steps, jnp.float32), jnp.asarray(c1, jnp.float32),
+              jnp.asarray(c2, jnp.float32), jnp.asarray(sigma, jnp.float32), noise_keys)
+        audio, _ = jax.lax.scan(body, audio0, xs)
+        return audio
+
+    return run
 
 
 def diffwave_sample(model, variables, conditioner, label, key, *, fast: bool = True):
@@ -98,13 +114,9 @@ def diffwave_sample(model, variables, conditioner, label, key, *, fast: bool = T
     c2 = beta[order] / (1.0 - alpha_cum[order]) ** 0.5
     sigma = _sigmas(alpha_cum, beta, order)
 
-    @jax.jit
-    def run(key, conditioner, label):
-        apply_fn = lambda a, s, c, l: model.apply(variables, a, s, c, l)
-        return _reverse_scan(apply_fn, key, conditioner, label, n_samples,
-                             steps, c1, c2, sigma)
-
-    return run(key, conditioner, label), cfg.sample_rate
+    run = _jitted_reverse(model, False, int(n_samples), tuple(steps.tolist()),
+                          tuple(c1.tolist()), tuple(c2.tolist()), tuple(sigma.tolist()))
+    return run(variables, key, conditioner, label), cfg.sample_rate
 
 
 def wavegrad_sample(model, variables, conditioner, label, key, *,
@@ -129,10 +141,6 @@ def wavegrad_sample(model, variables, conditioner, label, key, *,
     c2 = (1.0 - alpha[order]) / (1.0 - alpha_cum[order]) ** 0.5
     sigma = _sigmas(alpha_cum, beta, order)
 
-    @jax.jit
-    def run(key, conditioner, label):
-        apply_fn = lambda a, s, c, l: model.apply(variables, a, c, s, l)
-        return _reverse_scan(apply_fn, key, conditioner, label, n_samples,
-                             steps, c1, c2, sigma)
-
-    return run(key, conditioner, label), cfg.sample_rate
+    run = _jitted_reverse(model, True, int(n_samples), tuple(steps.tolist()),
+                          tuple(c1.tolist()), tuple(c2.tolist()), tuple(sigma.tolist()))
+    return run(variables, key, conditioner, label), cfg.sample_rate
