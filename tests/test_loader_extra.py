@@ -41,3 +41,30 @@ def test_window_starts_boundaries():
     assert all(b - a == spec.hop_len(fs) for a, b in zip(starts, starts[1:]))
     # exactly one window when signal barely exceeds the pad
     assert window_starts(50, fs, spec) == [30]
+
+
+def test_int16_wire_format_roundtrip():
+    """Quantised wire batches dequantise within the numerical contract and train fine."""
+    import jax.numpy as jnp
+    from wav2vec_heart_sounds_tpu.data.loader import WIRE_SCALE
+    from wav2vec_heart_sounds_tpu.models import (ClassifierConfig, Wav2Vec2Config,
+                                                 Wav2VecClassifier)
+    from wav2vec_heart_sounds_tpu.train import SupervisedTrainer
+
+    ds = _tiny_ds(8, t=500)
+    b16 = next(iter(Batcher(ds, 4, False, wire_int16=True)))
+    b32 = next(iter(Batcher(ds, 4, False)))
+    assert b16["waveform"].dtype == np.int16
+    deq = b16["waveform"].astype(np.float32) / WIRE_SCALE
+    # items are unit-normalised-ish noise; quantisation error bounded by 1/32767
+    assert np.max(np.abs(deq - np.clip(b32["waveform"], -1, 1))) < 1.5 / WIRE_SCALE
+
+    cfg = ClassifierConfig(num_classes=2, head_hidden=(8,), fs=100,
+                           encoder=Wav2Vec2Config.tiny())
+    model = Wav2VecClassifier(cfg)
+    params = model.init(jax.random.key(0), jnp.zeros((2, 500)))
+    trainer = SupervisedTrainer(model, params, optimizer_name="adam", lr=1e-3,
+                                classifier_config=cfg, log=lambda s: None)
+    best = trainer.fit(Batcher(ds, 4, True, wire_int16=True),
+                       Batcher(ds, 4, False, wire_int16=True), epochs=1)
+    assert np.isfinite(best)

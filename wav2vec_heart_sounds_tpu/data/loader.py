@@ -32,6 +32,9 @@ def pad_batch(waves: list[np.ndarray], target_len: int | None = None) -> np.ndar
     return out
 
 
+WIRE_SCALE = 32767.0  # int16 wire format for [-1, 1] waveforms
+
+
 class Batcher:
     """Iterate fixed-shape batches over a FragmentDataset-like sequence.
 
@@ -39,10 +42,16 @@ class Batcher:
     replacement, equal class probability); ``train=False`` iterates in order, padding the last
     batch by repeating its final item so shapes stay static (the repeated rows carry
     ``valid=False`` and are ignored by metric accumulation).
+
+    ``wire_int16=True`` ships waveforms as int16 (values scaled by 32767): preprocessed
+    windows live in [-1, 1], so quantisation error (~3e-5) is far below the 5e-3 numerical
+    contract while halving host->device transfer bytes — the dominant cost of real training
+    on relay-attached TPUs (PERF.md). The trainer dequantises on device.
     """
 
     def __init__(self, dataset, batch_size: int, train: bool, *, seed: int = 0,
-                 target_len: int | None = None, drop_last: bool = False):
+                 target_len: int | None = None, drop_last: bool = False,
+                 wire_int16: bool = False):
         self.dataset = dataset
         self.batch_size = batch_size
         self.train = train
@@ -50,6 +59,7 @@ class Batcher:
         self.epoch = 0
         self.target_len = target_len
         self.drop_last = drop_last
+        self.wire_int16 = wire_int16
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -80,8 +90,11 @@ class Batcher:
                 valid[len(chunk):] = False
                 chunk = np.concatenate([chunk, np.full(bs - len(chunk), chunk[-1])])
             items = [self.dataset[int(i)] for i in chunk]
+            waves = pad_batch([it["waveform"] for it in items], self.target_len)
+            if self.wire_int16:
+                waves = np.clip(np.round(waves * WIRE_SCALE), -32767, 32767).astype(np.int16)
             yield {
-                "waveform": pad_batch([it["waveform"] for it in items], self.target_len),
+                "waveform": waves,
                 "label": np.asarray([it["label"] for it in items], dtype=np.int32),
                 "patient": [it["patient"] for it in items],
                 "valid": valid,

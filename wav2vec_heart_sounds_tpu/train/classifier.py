@@ -99,6 +99,8 @@ class SupervisedTrainer:
     # --- jitted steps -------------------------------------------------------
 
     def _forward(self, params, loss_params, x, y, valid, train, keys):
+        if jnp.issubdtype(x.dtype, jnp.integer):   # int16 wire format -> dequantise on device
+            x = x.astype(jnp.float32) * (1.0 / 32767.0)
         feature_loss = self.criterion is not None
         apply_kwargs = dict(train=train)
         if train:
