@@ -59,7 +59,7 @@ def _delay_channel(x: jnp.ndarray, delays: jnp.ndarray, kernel_size: int,
     from ..ops.pallas.beamformer import delay_channel
 
     return delay_channel(x.astype(jnp.float32), delays.astype(jnp.float32), kernel_size,
-                         np.asarray(window, dtype=np.float32))
+                         window)
 
 
 class TimeVaryingSincBeamformer(nn.Module):
@@ -72,7 +72,9 @@ class TimeVaryingSincBeamformer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        window = jnp.asarray(np.hamming(self.kernel_size), dtype=x.dtype)
+        # Plain NumPy: stays a host constant through tracing (the Pallas path needs it
+        # as static kernel weights, never as a traced array).
+        window = np.hamming(self.kernel_size).astype(np.float32)
         delays = DelayPredictor(self.num_mics, dtype=self.dtype,
                                 name="delay_predictor")(x, deterministic)
         delays = jnp.clip(delays, 0.0, self.max_delay_s * self.fs)
