@@ -14,7 +14,11 @@ from ..data.loader import Batcher
 
 def make_loader(dataset, batch_size: int, train: bool, seed: int = 0,
                 target_len: int | None = None) -> Batcher:
-    return Batcher(dataset, batch_size, train, seed=seed, target_len=target_len)
+    # Training batches ship int16 over the host->device link (1.4x real-loop speedup on
+    # relay-attached TPUs, PERF.md); the jitted train step dequantises. Eval loaders stay
+    # float32 (their batches feed plain apply fns).
+    return Batcher(dataset, batch_size, train, seed=seed, target_len=target_len,
+                   wire_int16=train)
 
 
 def append_result(results_json: str | None, record: dict) -> None:
