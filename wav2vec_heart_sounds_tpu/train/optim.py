@@ -57,12 +57,22 @@ def build_optimizer(
     so per-epoch StepLR decay never recompiles. ``trainable`` is a bool pytree mask.
     """
     schedule = lr_schedule(name, lr)
-    steps = []
-    if trainable is not None:
-        frozen = jax.tree_util.tree_map(lambda t: not t, trainable)
-        steps.append(optax.masked(optax.set_to_zero(), frozen))
-    if max_grad_norm is not None:
-        steps.append(optax.clip_by_global_norm(max_grad_norm))
-    inner = optax.chain(_inner(name, weight_decay, momentum), optax.scale(-1.0))
-    steps.append(optax.masked(inner, trainable) if trainable is not None else inner)
-    return optax.chain(*steps), schedule
+    all_trainable = (trainable is None
+                     or all(jax.tree_util.tree_leaves(trainable)))
+
+    clip = [optax.clip_by_global_norm(max_grad_norm)] if max_grad_norm is not None else []
+    inner = optax.chain(*clip, _inner(name, weight_decay, momentum), optax.scale(-1.0))
+
+    if all_trainable:
+        # Fully-trainable fast path: run the whole transform on ONE raveled vector.
+        # Per-leaf optimizer chains emit thousands of tiny launch-bound kernels per step
+        # (profiled at ~45 us each on the v5e — dominating the train step); flattening
+        # collapses them into a handful of large fused ops.
+        return optax.flatten(inner), schedule
+
+    frozen = jax.tree_util.tree_map(lambda t: not t, trainable)
+    tx = optax.chain(
+        optax.masked(optax.set_to_zero(), frozen),   # zero frozen grads pre-clip
+        optax.masked(inner, trainable),              # no decay/updates on frozen leaves
+    )
+    return tx, schedule
