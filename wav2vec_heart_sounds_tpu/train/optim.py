@@ -42,6 +42,33 @@ def _inner(name: str, weight_decay: float, momentum: float) -> optax.GradientTra
     raise ValueError(f"Unknown optimizer '{name}'")
 
 
+def _flatten_2d(inner: optax.GradientTransformation,
+                cols: int = 1024) -> optax.GradientTransformation:
+    """Run ``inner`` on one lane-aligned [rows, cols] buffer holding all parameters."""
+    from jax.flatten_util import ravel_pytree
+
+    import jax.numpy as jnp
+
+    def _pack(tree):
+        flat, unravel = ravel_pytree(tree)
+        n = flat.shape[0]
+        rows = -(-n // cols)
+        padded = jnp.pad(flat, (0, rows * cols - n)).reshape(rows, cols)
+        return padded, n, unravel
+
+    def init(params):
+        packed, _, _ = _pack(params)
+        return inner.init(packed)
+
+    def update(updates, state, params=None):
+        u2, n, unravel = _pack(updates)
+        p2 = _pack(params)[0] if params is not None else None
+        new_u, state = inner.update(u2, state, p2)
+        return unravel(new_u.reshape(-1)[:n]), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(
     name: str = "sgd",
     lr: float = 1e-3,
@@ -64,11 +91,13 @@ def build_optimizer(
     inner = optax.chain(*clip, _inner(name, weight_decay, momentum), optax.scale(-1.0))
 
     if all_trainable:
-        # Fully-trainable fast path: run the whole transform on ONE raveled vector.
+        # Fully-trainable fast path: run the whole transform on ONE raveled buffer.
         # Per-leaf optimizer chains emit thousands of tiny launch-bound kernels per step
         # (profiled at ~45 us each on the v5e — dominating the train step); flattening
-        # collapses them into a handful of large fused ops.
-        return optax.flatten(inner), schedule
+        # collapses them into a handful of large fused ops. The buffer is reshaped to
+        # [rows, 1024] rather than 1-D: XLA lowers huge 1-D reductions through a [N/2, 2]
+        # relayout whose (8, 128) tile padding 64x-inflates HBM (observed 24 GB OOM).
+        return _flatten_2d(inner), schedule
 
     frozen = jax.tree_util.tree_map(lambda t: not t, trainable)
     tx = optax.chain(
