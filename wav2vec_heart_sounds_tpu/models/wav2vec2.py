@@ -86,7 +86,7 @@ class FeatureEncoder(nn.Module):
                         use_bias=False, dtype=self.dtype, name=f"conv_{i}")(h)
             if i == 0:
                 h = nn.GroupNorm(num_groups=dim, epsilon=cfg.layer_norm_eps,
-                                 dtype=self.dtype, name="group_norm")(h)
+                                 dtype=jnp.float32, name="group_norm")(h).astype(self.dtype)
             h = nn.gelu(h, approximate=False)
         return h
 
@@ -97,7 +97,7 @@ class FeatureProjection(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        x = nn.LayerNorm(epsilon=self.config.layer_norm_eps, dtype=self.dtype,
+        x = nn.LayerNorm(epsilon=self.config.layer_norm_eps, dtype=jnp.float32,
                          name="layer_norm")(x)
         x = nn.Dense(self.config.hidden_size, dtype=self.dtype,
                      name="projection")(x.astype(self.dtype))
@@ -190,7 +190,7 @@ class EncoderLayer(nn.Module):
         cfg = self.config
         attn = SelfAttention(cfg, dtype=self.dtype, name="attention")(x, deterministic)
         attn = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(attn)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          name="layer_norm")(x + attn)
         h = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
                      name="intermediate_dense")(x.astype(self.dtype))
@@ -198,7 +198,7 @@ class EncoderLayer(nn.Module):
         h = nn.Dropout(cfg.activation_dropout, deterministic=deterministic)(h)
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(h)
         h = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(h)
-        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                             name="final_layer_norm")(x + h)
 
 
@@ -226,7 +226,7 @@ class Wav2Vec2Model(nn.Module):
 
         pos = PositionalConvEmbedding(cfg, dtype=self.dtype, name="pos_conv_embed")(h)
         h = h + pos
-        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype, name="layer_norm")(h)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm")(h)
         h = nn.Dropout(cfg.hidden_dropout, deterministic=not train)(h)
         layer_cls = nn.remat(EncoderLayer, static_argnums=(2,)) if cfg.remat else EncoderLayer
         for i in range(cfg.num_layers):

@@ -71,10 +71,7 @@ class SupervisedTrainer:
         self.scalars = ScalarLogger(log_dir)
         self.batch_transform = batch_transform
         self.criterion = criterion
-        # rbg PRNG on accelerators: threefry dropout-bit generation is a significant slice
-        # of the train step (dozens of RNG sites per layer stack); rbg is hardware-cheap.
-        impl = None if jax.default_backend() == "cpu" else "rbg"
-        self.key = jax.random.key(seed, impl=impl) if impl else jax.random.key(seed)
+        self.key = jax.random.key(seed)
 
         loss_params = {}
         if criterion is not None and criterion.use_center:
