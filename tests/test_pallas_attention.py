@@ -1,0 +1,88 @@
+"""Flash-attention kernel vs the XLA reference: forward, VJP, dropout determinism."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from wav2vec_heart_sounds_tpu.ops.pallas.attention import (
+    flash_attention,
+    reference_attention,
+)
+
+
+def _qkv(b=2, h=3, t=57, d=16, seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.normal(size=(b, h, t, d)), jnp.float32)
+    return mk(), mk(), mk()
+
+
+SEED = jnp.asarray(0, jnp.int32)
+
+
+def test_forward_matches_reference():
+    q, k, v = _qkv()
+    out = flash_attention(q, k, v, SEED, 0.0, None, True)
+    ref = reference_attention(q, k, v)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_forward_padded_seq_matches_reference():
+    q, k, v = _qkv(t=199)
+    out = flash_attention(q, k, v, SEED, 0.0, None, True)
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_vjp_matches_autodiff():
+    q, k, v = _qkv(t=40, seed=1)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(q, k, v, SEED, 0.0, None, True)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(reference_attention(q, k, v)))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5, rtol=1e-4)
+
+
+def test_dropout_deterministic_and_mean_preserving():
+    q, k, v = _qkv(t=64, seed=2)
+    rate = 0.3
+    try:
+        o1 = flash_attention(q, k, v, jnp.asarray(7, jnp.int32), rate, None, True)
+    except Exception as e:  # pltpu PRNG may be unsupported in interpreter mode
+        pytest.skip(f"in-kernel PRNG unavailable in interpret mode: {type(e).__name__}")
+    o2 = flash_attention(q, k, v, jnp.asarray(7, jnp.int32), rate, None, True)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    o3 = flash_attention(q, k, v, jnp.asarray(8, jnp.int32), rate, None, True)
+    assert not np.allclose(np.asarray(o1), np.asarray(o3))
+    # scaled-keep dropout preserves the expected output scale
+    ref = reference_attention(q, k, v)
+    assert abs(float(jnp.mean(o1)) - float(jnp.mean(ref))) < 0.1 * float(
+        jnp.std(ref)) + 0.05
+
+
+def test_dropout_bwd_uses_same_mask():
+    q, k, v = _qkv(t=32, seed=3)
+    rate = 0.25
+    seed = jnp.asarray(11, jnp.int32)
+    try:
+        out, vjp_fn = jax.vjp(
+            lambda q, k, v: flash_attention(q, k, v, seed, rate, None, True), q, k, v)
+    except Exception as e:
+        pytest.skip(f"in-kernel PRNG unavailable in interpret mode: {type(e).__name__}")
+    g = jnp.ones_like(out)
+    dq, dk, dv = vjp_fn(g)
+    # finite-difference check on one coordinate of v: with the same seed/mask the kernel's
+    # fwd is a deterministic function, so its analytic grad must match numerics.
+    eps = 1e-3
+    v_plus = v.at[0, 0, 5, 3].add(eps)
+    v_minus = v.at[0, 0, 5, 3].add(-eps)
+    f = lambda vv: float(jnp.sum(flash_attention(q, k, vv, seed, rate, None, True)))
+    fd = (f(v_plus) - f(v_minus)) / (2 * eps)
+    np.testing.assert_allclose(float(dv[0, 0, 5, 3]), fd, rtol=5e-2, atol=1e-3)

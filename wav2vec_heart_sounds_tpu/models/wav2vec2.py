@@ -171,11 +171,31 @@ class SelfAttention(nn.Module):
             return t.reshape(t.shape[0], t.shape[1], nh, hd)
 
         q, k, v = split(q), split(k), split(v)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) / jnp.sqrt(hd).astype(jnp.float32)
-        probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
-        probs = nn.Dropout(cfg.attention_dropout, deterministic=deterministic)(probs)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+        import os
+
+        use_flash = (jax.default_backend() != "cpu"
+                     and os.environ.get("W2VHS_NO_FLASH") != "1")
+        if use_flash:
+            # Fused Pallas attention: no [B, H, T, T] tensors in HBM, dropout in-kernel
+            # (profiled as the single hottest component of the train step otherwise).
+            from ..ops.pallas.attention import flash_attention
+
+            rate = 0.0 if deterministic else cfg.attention_dropout
+            seed = jnp.zeros((), jnp.int32)
+            if rate > 0.0:
+                seed = jax.random.randint(self.make_rng("dropout"), (), 0,
+                                          jnp.iinfo(jnp.int32).max)
+            to_heads = lambda x: jnp.swapaxes(x, 1, 2)        # [B, H, T, hd]
+            out = flash_attention(to_heads(q), to_heads(k), to_heads(v), seed, rate)
+            out = jnp.swapaxes(out, 1, 2).astype(self.dtype)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) \
+                / jnp.sqrt(hd).astype(jnp.float32)
+            probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
+            probs = nn.Dropout(cfg.attention_dropout, deterministic=deterministic)(probs)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = out.reshape(out.shape[0], out.shape[1], d)
         return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
 

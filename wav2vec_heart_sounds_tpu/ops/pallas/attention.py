@@ -1,0 +1,189 @@
+"""Fused attention (flash-style) Pallas kernel with in-kernel dropout.
+
+Why: at wav2vec2's ~199 tokens the naive path materialises the [B, H, T, T] float32 score and
+probability tensors (486 MB at B=64, H=12) plus a same-shaped dropout mask — profiled at
+~64 ms/step across the 12 layers, ~100x off roofline, all HBM traffic. This kernel keeps one
+(T_pad, T_pad) tile per (batch, head) program resident in VMEM: QK^T, padded-key masking,
+softmax, dropout (hardware PRNG, seeded deterministically per program) and PV in one pass,
+so HBM sees only Q, K, V, O.
+
+Backward recomputes probabilities (and the identical dropout mask via the same per-program
+seed) instead of storing them — the classic flash recompute — with closed-form softmax/dropout
+gradients. Both passes verified against autodiff of the reference einsum path in interpreter
+mode (tests/test_pallas_attention.py).
+
+Sequences here are short and fixed (<=~200 frames), so no K/V tiling or online-softmax
+streaming is needed: one (T_pad, T_pad) tile fits VMEM with room to spare. T is padded to a
+multiple of 128 lanes; padded key columns are masked to -inf, padded query rows produce
+garbage that callers slice off.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _pad_len(t: int) -> int:
+    return max(128, -(-t // 128) * 128)
+
+
+def _keep_mask(shape, rate: float):
+    """Dropout keep-mask from the per-core PRNG (must be seeded already)."""
+    bits = pltpu.prng_random_bits(shape)
+    threshold = np.uint32(min(1.0, rate) * np.iinfo(np.uint32).max)
+    return pltpu.bitcast(bits, jnp.uint32) >= threshold
+
+
+def _probs(q, k, t: int, scale: float):
+    """Masked softmax probabilities for one head: [Tp, Tp] float32."""
+    scores = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    scores = jnp.where(col < t, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    return p / jnp.sum(p, axis=-1, keepdims=True)
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, t: int, scale: float,
+                rate: float):
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    probs = _probs(q, k, t, scale)
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * pl.num_programs(1)
+                        + pl.program_id(1))
+        keep = _keep_mask(probs.shape, rate)
+        probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
+    o_ref[0, 0] = jnp.dot(probs, v, preferred_element_type=jnp.float32
+                          ).astype(o_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
+                t: int, scale: float, rate: float):
+    q = q_ref[0, 0].astype(jnp.float32)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    g = g_ref[0, 0].astype(jnp.float32)
+
+    probs = _probs(q, k, t, scale)
+    if rate > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * pl.num_programs(1)
+                        + pl.program_id(1))
+        keep = _keep_mask(probs.shape, rate)
+        dropped = jnp.where(keep, probs / (1.0 - rate), 0.0)
+    else:
+        dropped = probs
+
+    dv = jax.lax.dot_general(dropped, g, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)        # [Tp, d]
+    dpd = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)       # [Tp, Tp]
+    dp = jnp.where(keep, dpd / (1.0 - rate), 0.0) if rate > 0.0 else dpd
+    ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32) * scale
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _specs(n: int, tp: int, d: int):
+    # index_map receives (grid indices..., scalar-prefetch refs...) under
+    # PrefetchScalarGridSpec — swallow the trailing scalar ref.
+    return [pl.BlockSpec((1, 1, tp, d), lambda b, h, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM) for _ in range(n)]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, seed: jnp.ndarray,
+                    dropout_rate: float = 0.0, t: int | None = None,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Fused attention over ``[B, H, T, d]`` tensors; returns the same shape.
+
+    ``seed`` is an int32 scalar array driving the in-kernel dropout PRNG (ignored when
+    ``dropout_rate == 0``); forward and backward derive identical per-(b, h) masks from it.
+    """
+    return _flash_fwd(q, k, v, seed, dropout_rate, t, interpret)[0]
+
+
+def _pad(x, tp):
+    b, h, t, d = x.shape
+    if t == tp:
+        return x
+    return jnp.pad(x, [(0, 0), (0, 0), (0, tp - t), (0, 0)])
+
+
+def _flash_fwd(q, k, v, seed, dropout_rate, t, interpret):
+    b, h, t_real, d = q.shape
+    t_eff = t or t_real
+    tp = _pad_len(t_real)
+    scale = 1.0 / float(np.sqrt(d))
+    qp, kp, vp = _pad(q, tp), _pad(k, tp), _pad(v, tp)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    out = pl.pallas_call(
+        partial(_fwd_kernel, t=t_eff, scale=scale, rate=dropout_rate),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h),
+            in_specs=_specs(3, tp, d),
+            out_specs=pl.BlockSpec((1, 1, tp, d), lambda bb, hh, *_: (bb, hh, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, tp, d), q.dtype),
+        interpret=interpret,
+    )(seed_arr, qp, kp, vp)
+    return out[:, :, :t_real, :], (q, k, v, seed)
+
+
+def _flash_bwd(dropout_rate, t, interpret, residuals, g):
+    q, k, v, seed = residuals
+    b, h, t_real, d = q.shape
+    t_eff = t or t_real
+    tp = _pad_len(t_real)
+    scale = 1.0 / float(np.sqrt(d))
+    qp, kp, vp, gp = _pad(q, tp), _pad(k, tp), _pad(v, tp), _pad(g, tp)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    shape = jax.ShapeDtypeStruct((b, h, tp, d), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        partial(_bwd_kernel, t=t_eff, scale=scale, rate=dropout_rate),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h),
+            in_specs=_specs(4, tp, d),
+            out_specs=tuple(
+                pl.BlockSpec((1, 1, tp, d), lambda bb, hh, *_: (bb, hh, 0, 0),
+                             memory_space=pltpu.VMEM) for _ in range(3)),
+        ),
+        out_shape=(shape, shape, shape),
+        interpret=interpret,
+    )(seed_arr, qp, kp, vp, gp)
+    crop = lambda x: x[:, :, :t_real, :]
+    return crop(dq), crop(dk), crop(dv), jnp.zeros_like(seed)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+def reference_attention(q, k, v, *, dropout_rate: float = 0.0, key=None):
+    """XLA einsum reference ([B, H, T, d]); used for fallback and tests."""
+    d = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+                        ) / np.sqrt(d)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if dropout_rate > 0.0 and key is not None:
+        keep = jax.random.bernoulli(key, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(q.dtype), v)
