@@ -2,20 +2,23 @@
 
 Why: at wav2vec2's ~199 tokens the naive path materialises the [B, H, T, T] float32 score and
 probability tensors (486 MB at B=64, H=12) plus a same-shaped dropout mask — profiled at
-~64 ms/step across the 12 layers, ~100x off roofline, all HBM traffic. This kernel keeps one
-(T_pad, T_pad) tile per (batch, head) program resident in VMEM: QK^T, padded-key masking,
-softmax, dropout (hardware PRNG, seeded deterministically per program) and PV in one pass,
-so HBM sees only Q, K, V, O.
+~64 ms/step across the 12 layers, ~100x off roofline, all HBM traffic. This kernel keeps the
+whole per-batch-element attention ([H, T_pad, T_pad] probabilities, ~3 MB) resident in VMEM:
+QK^T, padded-key masking, softmax, dropout (hardware PRNG, seeded deterministically per
+program) and PV in one pass, so HBM sees only Q, K, V, O.
+
+Grid layout matters on this part: one program per (batch, head) is launch-bound (768 tiny
+programs); instead the grid is (batch,) and all heads are batched inside the kernel through
+dot_general batch dimensions, giving each program ~50 MFLOP of MXU work.
 
 Backward recomputes probabilities (and the identical dropout mask via the same per-program
 seed) instead of storing them — the classic flash recompute — with closed-form softmax/dropout
-gradients. Both passes verified against autodiff of the reference einsum path in interpreter
-mode (tests/test_pallas_attention.py).
+gradients. Verified against autodiff of the reference einsum path in interpreter mode
+(tests/test_pallas_attention.py); the dropout paths (hardware PRNG) are exercised on TPU.
 
-Sequences here are short and fixed (<=~200 frames), so no K/V tiling or online-softmax
-streaming is needed: one (T_pad, T_pad) tile fits VMEM with room to spare. T is padded to a
-multiple of 128 lanes; padded key columns are masked to -inf, padded query rows produce
-garbage that callers slice off.
+Sequences here are short and fixed (<= ~200 frames), so no K/V tiling or online-softmax
+streaming is needed. T is padded to a multiple of 128 lanes; padded key columns are masked to
+-inf, padded query rows produce garbage that callers slice off.
 """
 
 from __future__ import annotations
@@ -30,6 +33,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+_BH = (((2,), (2,)), ((0,), (0,)))       # contract d, batch H:  [H,T,d] x [H,T,d] -> [H,T,T]
+_BT = (((1,), (1,)), ((0,), (0,)))       # contract first T, batch H
+_PV = (((2,), (1,)), ((0,), (0,)))       # contract key-T, batch H: [H,T,T] x [H,T,d] -> [H,T,d]
+
 
 def _pad_len(t: int) -> int:
     return max(128, -(-t // 128) * 128)
@@ -43,10 +50,9 @@ def _keep_mask(shape, rate: float):
 
 
 def _probs(q, k, t: int, scale: float):
-    """Masked softmax probabilities for one head: [Tp, Tp] float32."""
-    scores = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                 preferred_element_type=jnp.float32) * scale
-    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    """Masked softmax probabilities for one batch element: [H, Tp, Tp] float32."""
+    scores = jax.lax.dot_general(q, k, _BH, preferred_element_type=jnp.float32) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
     scores = jnp.where(col < t, scores, NEG_INF)
     m = jnp.max(scores, axis=-1, keepdims=True)
     p = jnp.exp(scores - m)
@@ -55,53 +61,47 @@ def _probs(q, k, t: int, scale: float):
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, t: int, scale: float,
                 rate: float):
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
     probs = _probs(q, k, t, scale)
     if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * pl.num_programs(1)
-                        + pl.program_id(1))
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         keep = _keep_mask(probs.shape, rate)
         probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
-    o_ref[0, 0] = jnp.dot(probs, v, preferred_element_type=jnp.float32
-                          ).astype(o_ref.dtype)
+    o_ref[0] = jax.lax.dot_general(probs, v, _PV,
+                                   preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
                 t: int, scale: float, rate: float):
-    q = q_ref[0, 0].astype(jnp.float32)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
-    g = g_ref[0, 0].astype(jnp.float32)
+    q = q_ref[0].astype(jnp.float32)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
 
     probs = _probs(q, k, t, scale)
     if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * pl.num_programs(1)
-                        + pl.program_id(1))
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
         keep = _keep_mask(probs.shape, rate)
         dropped = jnp.where(keep, probs / (1.0 - rate), 0.0)
     else:
         dropped = probs
 
-    dv = jax.lax.dot_general(dropped, g, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)        # [Tp, d]
-    dpd = jax.lax.dot_general(g, v, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)       # [Tp, Tp]
+    dv = jax.lax.dot_general(dropped, g, _BT, preferred_element_type=jnp.float32)
+    dpd = jax.lax.dot_general(g, v, _BH, preferred_element_type=jnp.float32)
     dp = jnp.where(keep, dpd / (1.0 - rate), 0.0) if rate > 0.0 else dpd
     ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
-    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32) * scale
-    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
-    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
-    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+    dq = jax.lax.dot_general(ds, k, _PV, preferred_element_type=jnp.float32) * scale
+    dk = jax.lax.dot_general(ds, q, _BT, preferred_element_type=jnp.float32) * scale
+    dq_ref[0] = dq.astype(dq_ref.dtype)
+    dk_ref[0] = dk.astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _specs(n: int, tp: int, d: int):
-    # index_map receives (grid indices..., scalar-prefetch refs...) under
-    # PrefetchScalarGridSpec — swallow the trailing scalar ref.
-    return [pl.BlockSpec((1, 1, tp, d), lambda b, h, *_: (b, h, 0, 0),
+def _specs(n: int, h: int, tp: int, d: int):
+    # index_map receives (grid indices..., scalar-prefetch refs...); swallow the scalar ref.
+    return [pl.BlockSpec((1, h, tp, d), lambda b, *_: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM) for _ in range(n)]
 
 
@@ -112,13 +112,13 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, seed: jnp.nd
     """Fused attention over ``[B, H, T, d]`` tensors; returns the same shape.
 
     ``seed`` is an int32 scalar array driving the in-kernel dropout PRNG (ignored when
-    ``dropout_rate == 0``); forward and backward derive identical per-(b, h) masks from it.
+    ``dropout_rate == 0``); forward and backward derive identical per-program masks from it.
     """
     return _flash_fwd(q, k, v, seed, dropout_rate, t, interpret)[0]
 
 
 def _pad(x, tp):
-    b, h, t, d = x.shape
+    t = x.shape[2]
     if t == tp:
         return x
     return jnp.pad(x, [(0, 0), (0, 0), (0, tp - t), (0, 0)])
@@ -136,9 +136,9 @@ def _flash_fwd(q, k, v, seed, dropout_rate, t, interpret):
         partial(_fwd_kernel, t=t_eff, scale=scale, rate=dropout_rate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b, h),
-            in_specs=_specs(3, tp, d),
-            out_specs=pl.BlockSpec((1, 1, tp, d), lambda bb, hh, *_: (bb, hh, 0, 0),
+            grid=(b,),
+            in_specs=_specs(3, h, tp, d),
+            out_specs=pl.BlockSpec((1, h, tp, d), lambda bb, *_: (bb, 0, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, tp, d), q.dtype),
@@ -161,10 +161,10 @@ def _flash_bwd(dropout_rate, t, interpret, residuals, g):
         partial(_bwd_kernel, t=t_eff, scale=scale, rate=dropout_rate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b, h),
-            in_specs=_specs(4, tp, d),
+            grid=(b,),
+            in_specs=_specs(4, h, tp, d),
             out_specs=tuple(
-                pl.BlockSpec((1, 1, tp, d), lambda bb, hh, *_: (bb, hh, 0, 0),
+                pl.BlockSpec((1, h, tp, d), lambda bb, *_: (bb, 0, 0, 0),
                              memory_space=pltpu.VMEM) for _ in range(3)),
         ),
         out_shape=(shape, shape, shape),
