@@ -42,6 +42,19 @@ def _pad_len(t: int) -> int:
     return max(128, -(-t // 128) * 128)
 
 
+def _head_block(h: int, tp: int) -> int:
+    """Largest divisor of ``h`` whose working set fits comfortably in VMEM.
+
+    The backward kernel keeps ~7 float32 [hb, Tp, Tp] buffers live; cap that at ~10 MB
+    (the scoped-vmem limit is 16 MB)."""
+    budget = 10 * 1024 * 1024
+    per_head = 7 * tp * tp * 4
+    for hb in range(h, 0, -1):
+        if h % hb == 0 and hb * per_head <= budget:
+            return hb
+    return 1
+
+
 def _keep_mask(shape, rate: float):
     """Dropout keep-mask from the per-core PRNG (must be seeded already)."""
     bits = pltpu.prng_random_bits(shape)
@@ -66,7 +79,8 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, t: int, scale: float,
     v = v_ref[0].astype(jnp.float32)
     probs = _probs(q, k, t, scale)
     if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * pl.num_programs(1)
+                        + pl.program_id(1))
         keep = _keep_mask(probs.shape, rate)
         probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
     o_ref[0] = jax.lax.dot_general(probs, v, _PV,
@@ -82,7 +96,8 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
 
     probs = _probs(q, k, t, scale)
     if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * pl.num_programs(1)
+                        + pl.program_id(1))
         keep = _keep_mask(probs.shape, rate)
         dropped = jnp.where(keep, probs / (1.0 - rate), 0.0)
     else:
@@ -99,9 +114,9 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _specs(n: int, h: int, tp: int, d: int):
+def _specs(n: int, hb: int, tp: int, d: int):
     # index_map receives (grid indices..., scalar-prefetch refs...); swallow the scalar ref.
-    return [pl.BlockSpec((1, h, tp, d), lambda b, *_: (b, 0, 0, 0),
+    return [pl.BlockSpec((1, hb, tp, d), lambda b, hh, *_: (b, hh, 0, 0),
                          memory_space=pltpu.VMEM) for _ in range(n)]
 
 
@@ -132,13 +147,14 @@ def _flash_fwd(q, k, v, seed, dropout_rate, t, interpret):
     qp, kp, vp = _pad(q, tp), _pad(k, tp), _pad(v, tp)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
 
+    hb = _head_block(h, tp)
     out = pl.pallas_call(
         partial(_fwd_kernel, t=t_eff, scale=scale, rate=dropout_rate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b,),
-            in_specs=_specs(3, h, tp, d),
-            out_specs=pl.BlockSpec((1, h, tp, d), lambda bb, *_: (bb, 0, 0, 0),
+            grid=(b, h // hb),
+            in_specs=_specs(3, hb, tp, d),
+            out_specs=pl.BlockSpec((1, hb, tp, d), lambda bb, hh, *_: (bb, hh, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
         out_shape=jax.ShapeDtypeStruct((b, h, tp, d), q.dtype),
@@ -156,15 +172,16 @@ def _flash_bwd(dropout_rate, t, interpret, residuals, g):
     qp, kp, vp, gp = _pad(q, tp), _pad(k, tp), _pad(v, tp), _pad(g, tp)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
 
+    hb = _head_block(h, tp)
     shape = jax.ShapeDtypeStruct((b, h, tp, d), q.dtype)
     dq, dk, dv = pl.pallas_call(
         partial(_bwd_kernel, t=t_eff, scale=scale, rate=dropout_rate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(b,),
-            in_specs=_specs(4, h, tp, d),
+            grid=(b, h // hb),
+            in_specs=_specs(4, hb, tp, d),
             out_specs=tuple(
-                pl.BlockSpec((1, h, tp, d), lambda bb, *_: (bb, 0, 0, 0),
+                pl.BlockSpec((1, hb, tp, d), lambda bb, hh, *_: (bb, hh, 0, 0),
                              memory_space=pltpu.VMEM) for _ in range(3)),
         ),
         out_shape=(shape, shape, shape),
