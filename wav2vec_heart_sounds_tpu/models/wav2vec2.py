@@ -69,6 +69,23 @@ class Wav2Vec2Config:
         return input_length
 
 
+
+def _dropout(mod: nn.Module, x: jnp.ndarray, rate: float, deterministic: bool) -> jnp.ndarray:
+    """Dropout that uses the hardware-PRNG Pallas kernel on TPU (threefry bit generation
+    for the encoder's big masks profiles at ~17 ms/step otherwise); flax Dropout on CPU."""
+    if deterministic or rate <= 0.0:
+        return x
+    import os
+
+    if jax.default_backend() != "cpu" and os.environ.get("W2VHS_NO_FLASH") != "1":
+        from ..ops.pallas.dropout import prng_dropout
+
+        seed = jax.random.randint(mod.make_rng("dropout"), (), 0,
+                                  jnp.iinfo(jnp.int32).max)
+        return prng_dropout(x, seed, rate)
+    return nn.Dropout(rate, deterministic=False)(x)
+
+
 class FeatureEncoder(nn.Module):
     """Strided conv stack: raw waveform [B, T] -> latent frames [B, T', conv_dim[-1]].
 
@@ -101,7 +118,7 @@ class FeatureProjection(nn.Module):
                          name="layer_norm")(x)
         x = nn.Dense(self.config.hidden_size, dtype=self.dtype,
                      name="projection")(x.astype(self.dtype))
-        return nn.Dropout(self.config.feat_proj_dropout, deterministic=deterministic)(x)
+        return _dropout(self, x, self.config.feat_proj_dropout, deterministic)
 
 
 class PositionalConvEmbedding(nn.Module):
@@ -209,15 +226,15 @@ class EncoderLayer(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         cfg = self.config
         attn = SelfAttention(cfg, dtype=self.dtype, name="attention")(x, deterministic)
-        attn = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(attn)
+        attn = _dropout(self, attn, cfg.hidden_dropout, deterministic)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          name="layer_norm")(x + attn)
         h = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
                      name="intermediate_dense")(x.astype(self.dtype))
         h = nn.gelu(h, approximate=False)
-        h = nn.Dropout(cfg.activation_dropout, deterministic=deterministic)(h)
+        h = _dropout(self, h, cfg.activation_dropout, deterministic)
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(h)
-        h = nn.Dropout(cfg.hidden_dropout, deterministic=deterministic)(h)
+        h = _dropout(self, h, cfg.hidden_dropout, deterministic)
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                             name="final_layer_norm")(x + h)
 
@@ -247,7 +264,7 @@ class Wav2Vec2Model(nn.Module):
         pos = PositionalConvEmbedding(cfg, dtype=self.dtype, name="pos_conv_embed")(h)
         h = h + pos
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm")(h)
-        h = nn.Dropout(cfg.hidden_dropout, deterministic=not train)(h)
+        h = _dropout(self, h, cfg.hidden_dropout, not train)
         layer_cls = nn.remat(EncoderLayer, static_argnums=(2,)) if cfg.remat else EncoderLayer
         for i in range(cfg.num_layers):
             h = layer_cls(cfg, dtype=self.dtype, name=f"layers_{i}")(

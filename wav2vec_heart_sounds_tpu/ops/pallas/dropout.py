@@ -1,0 +1,84 @@
+"""Hardware-PRNG dropout kernel (drop-in for nn.Dropout on TPU).
+
+Why: flax dropout draws threefry random bits for every masked tensor; across the encoder's
+hidden/activation dropout sites that bit generation profiles at ~17 ms/step (B=64) — pure
+RNG arithmetic. The TPU's per-core PRNG generates bits essentially for free inside a Pallas
+kernel, and the backward pass can *recompute* the identical mask from the same seed instead
+of storing it (saving a mask-sized HBM round trip as well).
+
+Forward: out = where(bits >= rate, x / (1 - rate), 0), tiled over row blocks with a
+deterministic per-program seed. Backward: identical mask regenerated, applied to the incoming
+cotangent. Tested against statistical properties + determinism on hardware; interpreter-mode
+tests cover the plumbing where the interpreter supports the PRNG primitives.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BLOCK_ROWS = 2048
+
+
+def _kernel(seed_ref, x_ref, o_ref, *, rate: float):
+    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    bits = pltpu.bitcast(pltpu.prng_random_bits(x_ref.shape), jnp.uint32)
+    threshold = np.uint32(min(1.0, rate) * np.iinfo(np.uint32).max)
+    keep = bits >= threshold
+    o_ref[:, :] = jnp.where(keep, x_ref[:, :] / (1.0 - rate), 0.0).astype(o_ref.dtype)
+
+
+def _run(x2: jnp.ndarray, seed_arr: jnp.ndarray, rate: float,
+         interpret: bool) -> jnp.ndarray:
+    n, c = x2.shape
+    rows = min(_BLOCK_ROWS, n)
+    grid = -(-n // rows)
+    return pl.pallas_call(
+        partial(_kernel, rate=rate),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(grid,),
+            in_specs=[pl.BlockSpec((rows, c), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((rows, c), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+        interpret=interpret,
+    )(seed_arr, x2)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def prng_dropout(x: jnp.ndarray, seed: jnp.ndarray, rate: float,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Dropout over the last axis of any-rank ``x`` using the TPU hardware PRNG."""
+    return _fwd(x, seed, rate, interpret)[0]
+
+
+def _fwd(x, seed, rate, interpret):
+    if rate <= 0.0:
+        return x, (seed,)
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    out = _run(x2, seed_arr, rate, interpret).reshape(shape)
+    return out, (seed,)
+
+
+def _bwd(rate, interpret, residuals, g):
+    (seed,) = residuals
+    if rate <= 0.0:
+        return g, jnp.zeros_like(seed)
+    shape = g.shape
+    g2 = g.reshape(-1, shape[-1])
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+    dg = _run(g2, seed_arr, rate, interpret).reshape(shape)
+    return dg, jnp.zeros_like(seed)
+
+
+prng_dropout.defvjp(_fwd, _bwd)
