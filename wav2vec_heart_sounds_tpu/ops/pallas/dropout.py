@@ -22,7 +22,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_BLOCK_ROWS = 2048
+def _block_rows(n: int, c: int) -> int:
+    """Row-block size under a ~4 MB VMEM budget (~12 bytes/element live: in, out, bits,
+    f32 intermediates)."""
+    budget = 4 * 1024 * 1024
+    rows = max(8, min(n, budget // max(1, c * 12)))
+    return max(8, (rows // 8) * 8)
 
 
 def _kernel(seed_ref, x_ref, o_ref, *, rate: float):
@@ -36,7 +41,7 @@ def _kernel(seed_ref, x_ref, o_ref, *, rate: float):
 def _run(x2: jnp.ndarray, seed_arr: jnp.ndarray, rate: float,
          interpret: bool) -> jnp.ndarray:
     n, c = x2.shape
-    rows = min(_BLOCK_ROWS, n)
+    rows = _block_rows(n, c)
     grid = -(-n // rows)
     return pl.pallas_call(
         partial(_kernel, rate=rate),
