@@ -274,6 +274,10 @@ def classify_lsdo(dbs, holdout, **kwargs):
 @click.option("--mode", type=click.Choice(["train", "infer", "preproc"]), default="train")
 def bench_cmd(batch_size, fs, window_s, steps, mode):
     """End-to-end throughput benchmark (windows/sec/chip) — see bench.py."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     import bench as bench_mod
 
     result = bench_mod.run_bench(batch_size=batch_size, fs=fs, window_s=window_s,
