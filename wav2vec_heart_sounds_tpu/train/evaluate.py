@@ -43,10 +43,16 @@ def evaluate(apply_fn, batcher, max_batches: int | None = None) -> dict:
     return {"fragment": fragment_cm.stats(), "patient": patient_cm.stats()}
 
 
+def _dequant(x):
+    if jnp.issubdtype(x.dtype, jnp.integer):   # int16 wire format
+        return x.astype(jnp.float32) * (1.0 / 32767.0)
+    return x
+
+
 def make_apply_fn(model, variables):
     """Jitted logits function. Params are a jit *argument*, never a closure constant —
     closed-over weights get embedded into the HLO and blow up remote compilation."""
-    jitted = jax.jit(lambda v, x: model.apply(v, x))
+    jitted = jax.jit(lambda v, x: model.apply(v, _dequant(x)))
 
     def apply_fn(x):
         return jitted(variables, x)
@@ -59,7 +65,7 @@ def make_encode_fn(model, variables, method=None):
     from ..models.classifier import Wav2VecClassifier
 
     method = method or Wav2VecClassifier.encode
-    jitted = jax.jit(lambda v, x: model.apply(v, x, method=method))
+    jitted = jax.jit(lambda v, x: model.apply(v, _dequant(x), method=method))
 
     def encode_fn(x):
         return jitted(variables, x)
