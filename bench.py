@@ -82,7 +82,7 @@ def run_gen_bench(batch_size: int = 8, steps: int = 3) -> dict:
     }
 
 
-def run_bench(batch_size: int = 64, fs: int = 16000, window_s: float = 4.0,
+def run_bench(batch_size: int = 96, fs: int = 16000, window_s: float = 4.0,
               steps: int = 20, mode: str = "train", fs_in: int = 2000) -> dict:
     if mode == "gen":
         return run_gen_bench()

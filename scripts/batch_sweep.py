@@ -67,7 +67,11 @@ def sweep(batch: int, remat: bool, steps: int = 30):
 
 
 if __name__ == "__main__":
-    for batch, remat in [(64, False), (128, False), (128, True), (256, True)]:
+    import sys
+    configs = [(64, False), (128, False), (128, True), (256, True)]
+    if len(sys.argv) > 1:
+        configs = [(int(b), False) for b in sys.argv[1].split(",")]
+    for batch, remat in configs:
         try:
             sweep(batch, remat)
         except Exception as e:  # OOM etc. — report and continue

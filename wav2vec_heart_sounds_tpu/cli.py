@@ -267,7 +267,7 @@ def classify_lsdo(dbs, holdout, **kwargs):
 # --- performance -----------------------------------------------------------------
 
 @cli.command("bench")
-@click.option("--batch-size", type=int, default=64)
+@click.option("--batch-size", type=int, default=96)
 @click.option("--fs", type=int, default=16000)
 @click.option("--window-s", type=float, default=4.0)
 @click.option("--steps", type=int, default=20)
