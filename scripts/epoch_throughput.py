@@ -16,7 +16,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import numpy as np
 
 
-def run(wire_int16: bool, batch=64, n_windows=256, epochs=2):
+def run(wire_int16: bool, batch=96, n_windows=288, epochs=2):
     import jax
     import jax.numpy as jnp
 
