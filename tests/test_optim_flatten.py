@@ -1,0 +1,62 @@
+"""The flattened (lane-aligned 2-D packed) optimizer must match the per-leaf chain exactly."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from wav2vec_heart_sounds_tpu.train.optim import _flatten_2d, build_optimizer, lr_schedule
+
+
+def _tree(seed=0):
+    rng = np.random.default_rng(seed)
+    return {
+        "a": {"kernel": jnp.asarray(rng.normal(size=(7, 13)), jnp.float32),
+              "bias": jnp.asarray(rng.normal(size=(13,)), jnp.float32)},
+        "b": jnp.asarray(rng.normal(size=(130,)), jnp.float32),
+    }
+
+
+@pytest.mark.parametrize("name", ["sgd", "adam", "adamw"])
+def test_flattened_matches_per_leaf(name):
+    params = _tree(0)
+    grads = _tree(1)
+
+    def inner():
+        from wav2vec_heart_sounds_tpu.train.optim import _inner
+        return optax.chain(optax.clip_by_global_norm(5.0), _inner(name, 1e-5, 0.9),
+                           optax.scale(-1.0))
+
+    flat_tx = _flatten_2d(inner(), cols=32)
+    leaf_tx = inner()
+
+    fs, ls = flat_tx.init(params), leaf_tx.init(params)
+    p_f, p_l = params, params
+    for step in range(3):
+        uf, fs = flat_tx.update(grads, fs, p_f)
+        ul, ls = leaf_tx.update(grads, ls, p_l)
+        p_f = optax.apply_updates(p_f, uf)
+        p_l = optax.apply_updates(p_l, ul)
+    for a, b in zip(jax.tree_util.tree_leaves(p_f), jax.tree_util.tree_leaves(p_l)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_build_optimizer_freeze_path_still_masks():
+    params = _tree(0)
+    grads = _tree(1)
+    mask = {"a": {"kernel": False, "bias": False}, "b": True}
+    tx, _ = build_optimizer("adam", trainable=mask, max_grad_norm=None)
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    assert float(jnp.abs(updates["a"]["kernel"]).max()) == 0.0
+    assert float(jnp.abs(updates["b"]).max()) > 0.0
+
+
+def test_step_lr_schedule():
+    sched = lr_schedule("sgd", 1e-3)
+    assert sched(0) == pytest.approx(1e-3)
+    assert sched(6) == pytest.approx(1e-3)
+    assert sched(7) == pytest.approx(1e-4)
+    assert sched(14) == pytest.approx(1e-5)
+    assert lr_schedule("adam", 1e-3)(100) == pytest.approx(1e-3)
