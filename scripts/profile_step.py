@@ -18,7 +18,7 @@ def main():
     from wav2vec_heart_sounds_tpu.train.classifier import SupervisedTrainer
 
     fs, win = 16000, 64000
-    batch = 64
+    batch = 96
     cfg = ClassifierConfig(num_classes=2, num_channels=1, head_hidden=(512, 512, 512),
                            random_init=True, fs=fs)
     model, variables = build_classifier(cfg, jax.random.key(0), win)
