@@ -3,10 +3,11 @@
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 
 What is measured (the BASELINE.json north-star path): a batch of raw 2 kHz PCG windows goes
-through the fused on-device preprocessing chain (polyphase resample to 16 kHz -> batched
-Schmidt despike -> 25-450 Hz causal cascade -> abs-max normalise) and a full wav2vec2-base
-classifier train step (forward + CE loss + backward + SGD update) — all one jit-compiled
-program per step. Steady-state timing over ``steps`` iterations after warmup.
+through the on-device preprocessing chain (polyphase resample to 16 kHz -> batched Schmidt
+despike -> 25-450 Hz causal cascade -> abs-max normalise; stage-jitted, all intermediates
+device-resident) into a full wav2vec2-base classifier train step (forward + CE loss +
+backward + SGD update; one donated jit program). Steady-state timing over ``steps``
+iterations after warmup.
 
 ``vs_baseline`` compares against the measured reference-equivalent throughput stored in
 BASELINE_MEASURED.json (the torch-CPU path of MilanMarocchi/wav2vec-heart-sounds on this very
