@@ -78,8 +78,11 @@ class TimeVaryingSincBeamformer(nn.Module):
         delays = DelayPredictor(self.num_mics, dtype=self.dtype,
                                 name="delay_predictor")(x, deterministic)
         delays = jnp.clip(delays, 0.0, self.max_delay_s * self.fs)
-        aligned = jax.vmap(
-            lambda xc, dc: _delay_channel(xc, dc, self.kernel_size, window) ** 2,
-            in_axes=(1, 1), out_axes=0,
-        )(x, delays)                                                   # [M, B, T]
-        return jnp.sum(aligned, axis=0)
+        # Static loop over microphones: vmapping the Pallas call would batch its whole-array
+        # VMEM blocks into squeezed sub-tiles that violate the (8, 128) tiling rule on
+        # hardware (interpret mode does not enforce it).
+        total = jnp.zeros((x.shape[0], x.shape[2]), jnp.float32)
+        for m in range(self.num_mics):
+            total = total + _delay_channel(x[:, m, :], delays[:, m, :],
+                                           self.kernel_size, window) ** 2
+        return total
