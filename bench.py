@@ -132,7 +132,7 @@ def run_bench(batch_size: int = 96, fs: int = 16000, window_s: float = 4.0,
         state = trainer.state
 
         def run_step(key):
-            waves = prep(raw_dev)
+            waves = prep(fresh_input(key))
             (state.params, state.loss_params, state.opt_state, loss, _) = trainer._train_step(
                 state.params, state.loss_params, state.opt_state, waves, labels, valid,
                 lr, key)

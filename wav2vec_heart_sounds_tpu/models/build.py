@@ -56,7 +56,13 @@ def build_classifier(cfg: ClassifierConfig, key: jax.Array, input_len: int,
         loaded = hf_port.load_pretrained_encoder(cfg.pretrained_name)
         if loaded is not None:
             enc_cfg, enc_params = loaded
-            cfg = replace(cfg, encoder=enc_cfg)
+            # Take only the architecture fields from the checkpoint config; fields the
+            # caller may have tuned (dropouts, SpecAugment, LoRA, remat) stay theirs.
+            arch = ("conv_dim", "conv_kernel", "conv_stride", "hidden_size", "num_layers",
+                    "num_heads", "intermediate_size", "pos_conv_kernel", "pos_conv_groups",
+                    "layer_norm_eps")
+            cfg = replace(cfg, encoder=replace(
+                cfg.encoder, **{f: getattr(enc_cfg, f) for f in arch}))
         else:
             enc_params = None
     else:

@@ -12,6 +12,7 @@ to the NumPy oracle.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from functools import lru_cache
@@ -21,21 +22,27 @@ import numpy as np
 
 _SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                     "native", "fastproc.cpp")
-_LIB = os.path.join(os.path.dirname(_SRC), "libfastproc.so")
 
 _f64p = np.ctypeslib.ndpointer(dtype=np.float64, flags="C_CONTIGUOUS")
 
 
 @lru_cache(maxsize=1)
 def _load():
+    # The library is never committed (binaries are host-specific and unreviewable);
+    # it is rebuilt from source, keyed on the source content hash so edits — not
+    # mtimes, which a fresh checkout resets — trigger recompilation. Portable arch
+    # flags: the build host's ISA extensions must not leak into the artifact.
     try:
-        if (not os.path.exists(_LIB)
-                or os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
+        with open(_SRC, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:12]
+        lib_path = os.path.join(os.path.dirname(_SRC), f"libfastproc-{digest}.so")
+        if not os.path.exists(lib_path):
+            tmp = lib_path + f".tmp{os.getpid()}"
             subprocess.run(
-                ["g++", "-O3", "-march=native", "-fPIC", "-shared", "-fopenmp",
-                 _SRC, "-o", _LIB],
+                ["g++", "-O3", "-fPIC", "-shared", "-fopenmp", _SRC, "-o", tmp],
                 check=True, capture_output=True)
-        lib = ctypes.CDLL(_LIB)
+            os.replace(tmp, lib_path)  # atomic: concurrent builders race safely
+        lib = ctypes.CDLL(lib_path)
     except Exception:
         return None
 
@@ -80,6 +87,9 @@ def _band_sos(fs: float, low: float, high: float):
 
 def resample(x: np.ndarray, fs_in: float, fs_out: float) -> np.ndarray:
     lib = _load()
+    if lib is None:
+        from .signal.resample import resample as oracle
+        return oracle(np.asarray(x, dtype=np.float64), fs_in, fs_out)
     x = np.ascontiguousarray(x, dtype=np.float64)
     if fs_in == fs_out:
         return x
@@ -93,6 +103,9 @@ def resample(x: np.ndarray, fs_in: float, fs_out: float) -> np.ndarray:
 def remove_spikes(x: np.ndarray, fs: float, threshold: float = 3.0,
                   max_iterations: int = 1000) -> np.ndarray:
     lib = _load()
+    if lib is None:
+        from .signal.despike import remove_spikes as oracle
+        return oracle(np.asarray(x, dtype=np.float64), fs, threshold, max_iterations)
     x = np.ascontiguousarray(x, dtype=np.float64).copy()
     lib.despike_f64(x, len(x), round(float(fs) / 2.0), threshold, max_iterations)
     return x
@@ -101,6 +114,12 @@ def remove_spikes(x: np.ndarray, fs: float, threshold: float = 3.0,
 def _preprocess(x: np.ndarray, fs_in: float, fs_out: float, band: tuple[float, float],
                 despike: bool) -> np.ndarray:
     lib = _load()
+    if lib is None:
+        from .signal import preprocess as sp
+        x = np.asarray(x, dtype=np.float64)
+        if band == (2.0, 40.0):
+            return sp.preprocess_ecg(x, fs_in, fs_out)
+        return sp.preprocess_pcg(x, fs_in, fs_out, despike=despike)
     x = np.ascontiguousarray(x, dtype=np.float64)
     up, down, h = _resample_plan(fs_in, fs_out)
     n_out = -(-len(x) * up // down) if up != down else len(x)
@@ -124,6 +143,9 @@ def preprocess_pcg_batch(x: np.ndarray, fs_in: float, fs_out: float, *,
                          despike: bool = True) -> np.ndarray:
     """OpenMP-parallel PCG chain over a [B, T] batch of equal-length records."""
     lib = _load()
+    if lib is None:
+        return np.stack([_preprocess(row, fs_in, fs_out, (25.0, 450.0), despike)
+                         for row in np.asarray(x, dtype=np.float64)])
     x = np.ascontiguousarray(x, dtype=np.float64)
     batch, n = x.shape
     up, down, h = _resample_plan(fs_in, fs_out)

@@ -98,9 +98,15 @@ class SupervisedTrainer:
 
     # --- jitted steps -------------------------------------------------------
 
+    @staticmethod
+    def _dequant(x):
+        """int16 wire format -> float32 waveform; no-op for already-float input."""
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            return x.astype(jnp.float32) * (1.0 / 32767.0)
+        return x
+
     def _forward(self, params, loss_params, x, y, valid, train, keys):
-        if jnp.issubdtype(x.dtype, jnp.integer):   # int16 wire format -> dequantise on device
-            x = x.astype(jnp.float32) * (1.0 / 32767.0)
+        x = self._dequant(x)
         feature_loss = self.criterion is not None
         apply_kwargs = dict(train=train)
         if train:
@@ -119,7 +125,9 @@ class SupervisedTrainer:
     def _train_step_impl(self, params, loss_params, opt_state, x, y, valid, lr, key):
         k_aug, k_drop, k_mask = jax.random.split(key, 3)
         if self.batch_transform is not None:
-            x = self.batch_transform(k_aug, x)
+            # Dequantise before augmenting: the transform contract is float [B, T]
+            # waveforms, and the wire format may be int16.
+            x = self.batch_transform(k_aug, self._dequant(x))
 
         def loss_fn(train_tree):
             return self._forward(train_tree["model"], train_tree["loss"], x, y, valid,
