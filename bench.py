@@ -120,6 +120,37 @@ def run_bench(batch_size: int = 96, fs: int = 16000, window_s: float = 4.0,
         # repeated identical pure computation (observed through the axon tunnel).
         return raw_dev * (1.0 + 1e-6 * jax.random.uniform(key, ()))
 
+    if mode == "real":
+        # The REAL training loop: Batcher assembly -> int16 wire -> threaded-prefetch
+        # transfer -> jitted train step, exactly as experiments/*.py run it. Windows are
+        # preprocessed at dataset-build time (the real loaders' load-time path).
+        from wav2vec_heart_sounds_tpu.data import Fragment, FragmentDataset
+
+        host_waves = np.asarray(jax.device_get(prep(jnp.asarray(
+            _raw_batch(batch_size * 4, fs_in, window_s)))), dtype=np.float32)
+        frags = [Fragment(w, i % 2, f"p{i}") for i, w in enumerate(host_waves)]
+        batcher = Batcher(FragmentDataset(frags, fs=fs), batch_size, train=True, seed=0,
+                          target_len=win_len, wire_int16=True)
+        trainer._run_epoch(batcher, True, max_batches=3)        # compile + warm
+        t0 = time.perf_counter()
+        _, loss = trainer._run_epoch(batcher, True, max_batches=steps)
+        elapsed = time.perf_counter() - t0
+        value = batch_size * steps / elapsed / max(1, jax.device_count())
+        baseline = None
+        if BASELINE_FILE.exists():
+            baseline = json.loads(BASELINE_FILE.read_text()).get("reference_windows_per_sec")
+        return {
+            "metric": "pcg_4s_windows_per_sec_per_chip_real_loop",
+            "value": round(value, 3),
+            "unit": "windows/s/chip",
+            "vs_baseline": round(value / baseline, 3) if baseline else None,
+            "mode": mode,
+            "batch_size": batch_size,
+            "steps": steps,
+            "backend": jax.default_backend(),
+            "final_fetch": round(float(loss), 6),
+        }
+
     if mode == "preproc":
         def run_step(key):
             return prep(fresh_input(key))

@@ -160,3 +160,43 @@ def test_noise_sources_read_wfdb_records(tmp_path):
         wfdb_io.write_record(str(tmp_path / name), tone(5, fs, 10.0), fs, sig_names=["noise"])
     out = ecg_noise(1000, 800, str(tmp_path), rng)
     assert out.shape == (800,) and np.all(np.isfinite(out))
+
+
+# --- golden-value pins for the in-house DSP (round-1 VERDICT "missing #3") -----------
+#
+# librosa/pyrubberband are unavailable in every environment this framework targets, so the
+# HPSS/stretch distribution cannot be pinned against upstream directly. These constants were
+# computed from this repo's dsp.py at the point its behavior was validated (shape/bounds/
+# separation + listening checks); they freeze that behavior so any later edit to dsp.py that
+# shifts the augmentation distribution fails loudly instead of drifting silently.
+
+def test_hpss_golden_values():
+    from wav2vec_heart_sounds_tpu.augment import dsp
+    fs = 4000
+    t = np.arange(4000) / fs
+    x = np.sin(2 * np.pi * 55 * t) + 0.6 * np.sin(2 * np.pi * 110 * t)
+    x[500::800] += 2.0
+    h, p, r = dsp.hpss_split(x.astype(np.float64), n_fft=512, hop=128,
+                             margin=(1.0, 1.0), kernel=(17, 17))
+    assert np.mean(np.abs(h)) == pytest.approx(0.6298810806021448, abs=1e-9)
+    assert np.mean(np.abs(p)) == pytest.approx(0.027088392322926653, abs=1e-9)
+    assert np.mean(np.abs(r)) == pytest.approx(0.0, abs=1e-12)   # masks sum to ~identity here
+    for i, want in [(100, 0.048765293379686166), (777, -0.47049355740930676),
+                    (2048, 1.3641425504128313), (3500, 1.3082766598627624)]:
+        assert h[i] == pytest.approx(want, abs=1e-9)
+    for i, want in [(100, 0.05834148780686095), (2048, 0.023081606568795775)]:
+        assert p[i] == pytest.approx(want, abs=1e-9)
+
+
+def test_time_stretch_golden_values():
+    from wav2vec_heart_sounds_tpu.augment import dsp
+    fs = 4000
+    t = np.arange(4000) / fs
+    x = np.sin(2 * np.pi * 55 * t) + 0.6 * np.sin(2 * np.pi * 110 * t)
+    x[500::800] += 2.0
+    y = dsp.time_stretch(x.astype(np.float64), fs, 1.25)
+    assert len(y) == 3200            # librosa convention: rate > 1 shortens
+    assert np.mean(np.abs(y)) == pytest.approx(0.6377873820874029, abs=1e-9)
+    for i, want in [(64, -1.2648731992412097), (1000, -1.001800175902185),
+                    (2500, 0.08209151544986788)]:
+        assert y[i] == pytest.approx(want, abs=1e-9)

@@ -15,6 +15,8 @@ from scipy.io import wavfile
 
 from wav2vec_heart_sounds_tpu import data as D
 from wav2vec_heart_sounds_tpu.data import wfdb_io
+
+pytestmark = pytest.mark.fast
 from wav2vec_heart_sounds_tpu.signal import WindowSpec
 
 
@@ -111,7 +113,7 @@ def test_fragment_dataset_balanced_expansion():
     assert len(ds) == 8 + 6 * 2 + 2 * 6
     labels = np.asarray(ds.labels)
     assert (labels == 1).sum() == 2 + 2 * 6
-    aug_idx = next(i for i, (_, a) in enumerate(ds._items) if a)
+    aug_idx = int(np.flatnonzero(ds.is_augmented)[0])
     _ = ds[aug_idx]
     assert len(calls) == 1
 
@@ -125,7 +127,7 @@ def test_fragment_dataset_cache_calls_once():
 
     ds = D.FragmentDataset(_fragments(2, 2), fs=1000, augment_num=1, augment_fn=aug,
                            cache_augmented=True)
-    idx = next(i for i, (_, a) in enumerate(ds._items) if a)
+    idx = int(np.flatnonzero(ds.is_augmented)[0])
     _ = ds[idx]
     _ = ds[idx]
     assert len(calls) == 1
@@ -364,7 +366,7 @@ def test_schedule_parse_and_resolve(tmp_path):
     assert [s[1] for s in stages] == [10, 4, 2]
     assert stages[1][2] is True
     assert sched.datasets["both"].combined
-    assert sched.datasets["both"].base_sets == ["real", "gen"]
+    assert tuple(sched.datasets["both"].base_sets) == ("real", "gen")
     assert "d/real" in sched.data_paths
 
 
@@ -378,3 +380,29 @@ def test_schedule_validation_errors():
     bad2["datasets"]["real"]["augment_num"] = -1
     with pytest.raises(ValueError, match="Invalid schedule"):
         sched_mod.from_dict(bad2)
+
+
+def test_schedule_sources_normal_form(tmp_path):
+    sched = D.schedule.from_dict(_schedule_dict())
+    real = sched.datasets["real"]
+    assert len(real.sources) == 1 and not real.combined
+    assert real.sources[0].gen_data is False and real.sources[0].proportion == 1.0
+    both = sched.datasets["both"]
+    assert [s.path for s in both.sources] == ["d/real", "d/gen"]
+    assert [s.proportion for s in both.sources] == [1.0, 0.5]
+    # combined inherits min(base augment_num) when unspecified
+    assert both.augment_num == 0
+
+
+def test_subsample_patients_keeps_aug_copies_with_base():
+    from wav2vec_heart_sounds_tpu.experiments.synthetic import subsample_patients
+    frags = []
+    for p in ("a", "b", "c", "d"):
+        frags.append(D.Fragment(np.zeros(10, np.float32), 0, p))
+        frags.append(D.Fragment(np.zeros(10, np.float32), 0, f"{p}#aug1"))
+    kept = subsample_patients(frags, 0.5, seed=0)
+    bases = {f.patient.split("#aug")[0] for f in kept}
+    assert len(bases) == 2
+    # every kept patient keeps both its base window and its augmented copy
+    assert len(kept) == 4
+    assert subsample_patients(frags, 1.0) is frags

@@ -199,3 +199,54 @@ def test_reference_rnn_regime_halves_epochs(cinc_fixture):
         encoder_config=TINY,
     )
     assert record["train_epochs"] == 1 and record["epochs"] == 2
+
+
+def test_classify_cinc_device_augment(cinc_fixture, tmp_path):
+    """The fused on-device augmentation path trains end-to-end (VERDICT round-1 #6)."""
+    from wav2vec_heart_sounds_tpu.experiments import cinc
+
+    record = cinc.run(
+        str(cinc_fixture), str(cinc_fixture / "split.csv"),
+        mode="pcg", fs=FS_OUT, window_s=2.0, epochs=1, augment=False,
+        random_init=True, batch_size=4, max_batches=2, device_augment=True,
+        results_json=str(tmp_path / "r.json"), encoder_config=TINY,
+    )
+    assert "fragment" in record and 0.0 <= record["fragment"]["accuracy"] <= 1.0
+
+
+def test_synthetic_letskip_skips_on_no_improvement(cinc_fixture, tmp_path, monkeypatch):
+    """A letskip stage is skipped when the previous stage did not improve validation MCC."""
+    from wav2vec_heart_sounds_tpu.experiments import synthetic
+    from wav2vec_heart_sounds_tpu.train.classifier import SupervisedTrainer
+
+    fits = []
+    orig_fit = SupervisedTrainer.fit
+
+    def spy_fit(self, *a, **kw):
+        fits.append(kw.get("label", ""))
+        orig_fit(self, *a, **kw)
+        return -1.0   # force "no improvement" after the first stage
+
+    monkeypatch.setattr(SupervisedTrainer, "fit", spy_fit)
+    sched = {
+        "test_set": {"data": str(cinc_fixture), "split": str(cinc_fixture / "split.csv"),
+                     "segment": ""},
+        "valid_set": {"data": str(cinc_fixture), "split": str(cinc_fixture / "split.csv"),
+                      "segment": ""},
+        "datasets": {
+            "real": {"path": str(cinc_fixture), "split": str(cinc_fixture / "split.csv"),
+                     "segment": "", "gen_data": False, "augment_num": 0,
+                     "proportion": 1.0},
+        },
+        "schedule": [
+            {"key": "real", "epochs": 1},
+            {"key": "real", "epochs": 1},              # not letskip: runs even w/o improvement
+            {"key": "real", "epochs": 1, "letskip": True},   # letskip: skipped
+        ],
+    }
+    p = tmp_path / "s.json"
+    p.write_text(json.dumps(sched))
+    record = synthetic.run(str(p), fs=FS_OUT, window_s=2.0, random_init=True,
+                           batch_size=4, max_batches=1, encoder_config=TINY)
+    assert len(fits) == 2
+    assert record["skipped_stages"] == ["real"]

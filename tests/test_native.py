@@ -6,8 +6,9 @@ import pytest
 from wav2vec_heart_sounds_tpu import native
 from wav2vec_heart_sounds_tpu import signal as sig
 
-pytestmark = pytest.mark.skipif(not native.available(),
-                                reason="native library unavailable (no g++?)")
+pytestmark = [pytest.mark.fast,
+              pytest.mark.skipif(not native.available(),
+                                 reason="native library unavailable (no g++?)")]
 
 
 def _mix(fs, seconds=4.0, seed=0):

@@ -11,6 +11,9 @@ from wav2vec_heart_sounds_tpu.models import ClassifierConfig, Wav2Vec2Config, Wa
 from wav2vec_heart_sounds_tpu.train import SupervisedTrainer
 from wav2vec_heart_sounds_tpu.utils import ScalarLogger, stopwatch
 
+import pytest
+
+pytestmark = pytest.mark.fast
 
 def test_scalar_logger_jsonl(tmp_path):
     logger = ScalarLogger(str(tmp_path))

@@ -9,6 +9,9 @@ import numpy as np
 from wav2vec_heart_sounds_tpu import signal as sig
 from wav2vec_heart_sounds_tpu.config import default_window
 
+import pytest
+
+pytestmark = pytest.mark.fast
 
 def tone(freq, fs, seconds=3.0):
     t = np.arange(int(fs * seconds)) / fs

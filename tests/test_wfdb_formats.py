@@ -4,6 +4,9 @@ import numpy as np
 
 from wav2vec_heart_sounds_tpu.data import wfdb_io
 
+import pytest
+
+pytestmark = pytest.mark.fast
 
 def test_format80(tmp_path):
     vals = np.array([0, 1, -1, 100, -127, 127], dtype=np.int32)

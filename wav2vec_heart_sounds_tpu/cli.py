@@ -186,6 +186,8 @@ def gen_sample(model_name, weights, data_dir, csv_path, output_dir, num_classes,
 @click.option("--random-init", is_flag=True, default=False)
 @click.option("--reference-train-rnn", is_flag=True, default=False,
               help="legacy regime: half epochs + augmented validation set")
+@click.option("--device-augment", is_flag=True, default=False,
+              help="fuse batched PCG augmentation into the jitted train step (mono modes)")
 @click.option("--fold", type=int, default=1)
 @click.option("--max-batches", type=int, default=None)
 @click.option("--results-json", default=None)

@@ -17,7 +17,7 @@ from .labels import (
     num_classes,
 )
 from .loader import Batcher, pad_batch, prefetch_to_device
-from .schedule import DatasetSpec, EvalSet, Schedule, Stage, load_schedule
+from .schedule import DatasetSpec, EvalSet, Schedule, SourceSpec, Stage, load_schedule
 from .splits import SplitRatios, make_splits, make_splits_from_dirs, read_cinc_labels, write_splits
 from .vest import VEST_CHANNEL_MAP, build_fragments as build_vest_fragments, vest_dataset
 from . import heart_cycles, wfdb_io
@@ -45,6 +45,7 @@ __all__ = [
     "Schedule",
     "DatasetSpec",
     "EvalSet",
+    "SourceSpec",
     "Stage",
     "load_schedule",
     "SplitRatios",

@@ -89,16 +89,59 @@ class Batcher:
             if len(chunk) < bs:                      # eval tail: repeat last item, mark invalid
                 valid[len(chunk):] = False
                 chunk = np.concatenate([chunk, np.full(bs - len(chunk), chunk[-1])])
-            items = [self.dataset[int(i)] for i in chunk]
-            waves = pad_batch([it["waveform"] for it in items], self.target_len)
+            if hasattr(self.dataset, "gather"):
+                batch = self.dataset.gather(chunk)
+                waves, labels, patients = batch["waveform"], batch["label"], batch["patient"]
+                if self.target_len is not None and waves.shape[1] != self.target_len:
+                    waves = pad_batch(list(waves), self.target_len)
+            else:
+                items = [self.dataset[int(i)] for i in chunk]
+                waves = pad_batch([it["waveform"] for it in items], self.target_len)
+                labels = np.asarray([it["label"] for it in items], dtype=np.int32)
+                patients = [it["patient"] for it in items]
             if self.wire_int16:
                 waves = np.clip(np.round(waves * WIRE_SCALE), -32767, 32767).astype(np.int16)
             yield {
                 "waveform": waves,
-                "label": np.asarray([it["label"] for it in items], dtype=np.int32),
-                "patient": [it["patient"] for it in items],
+                "label": labels,
+                "patient": patients,
                 "valid": valid,
             }
+
+
+def prefetch_threaded(iterator: Iterable, transform=None, depth: int = 2) -> Iterator:
+    """Background-thread prefetch: batch assembly (and an optional transform, e.g. the
+    host->device transfer) runs ahead of consumption on a side thread, overlapping with
+    device compute. Order-preserving; worker exceptions re-raise at the consumer.
+
+    The reference's loaders are strictly synchronous (``num_workers=0``,
+    reference src/mpcg_wav2vec/experiments/common.py:14); on a relay-attached TPU the
+    transfer is the real-loop bottleneck, so hiding it behind the step matters (PERF.md).
+    """
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
+    stop = object()
+    failure: list[BaseException] = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(transform(item) if transform is not None else item)
+        except BaseException as exc:   # noqa: BLE001 — re-raised at the consumer
+            failure.append(exc)
+        finally:
+            q.put(stop)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is stop:
+            if failure:
+                raise failure[0]
+            return
+        yield item
 
 
 def prefetch_to_device(iterator: Iterable[dict], size: int = 2) -> Iterator[dict]:

@@ -1,16 +1,20 @@
 """Training-schedule configuration (staged real + synthetic fine-tuning).
 
-Behavioral contract from reference src/mpcg_wav2vec/datasets/schedule.py:19-139: a schedule
-JSON names a fixed ``test_set``/``valid_set``, a set of real or generated ``datasets`` (each
-with ``augment_num`` and ``proportion``), optional ``combined_datasets`` built from those, and
-an ordered ``schedule`` of stages (dataset key, epochs, ``letskip``). Strictly validated with
-wrapped errors.
+Parses the schedule JSON format the reference defines (src/mpcg_wav2vec/datasets/schedule.py:
+19-139 — a fixed ``test_set``/``valid_set``, named real/generated ``datasets`` each with
+``augment_num`` and ``proportion``, optional ``combined_datasets`` built from those, and an
+ordered ``schedule`` of stages with ``letskip``), but normalises everything into this
+framework's own shape: every dataset — single or combined — becomes a tuple of
+:class:`SourceSpec` entries, so runners iterate ``spec.sources`` uniformly instead of
+branching on scalar-vs-list fields. The reference's scalar/list field views remain available
+as derived properties for compatibility. Validation errors carry the JSON path that failed
+and are wrapped as ``ValueError("Invalid schedule: …")``.
 """
 
 from __future__ import annotations
 
 import json
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from pathlib import Path
 
 
@@ -22,17 +26,54 @@ class EvalSet:
     augment_num: int = 0
 
 
-@dataclass
+@dataclass(frozen=True)
+class SourceSpec:
+    """One concrete data source inside a (possibly combined) dataset."""
+
+    path: str
+    split: str
+    segment: str
+    gen_data: bool
+    proportion: float = 1.0
+
+
+@dataclass(frozen=True)
 class DatasetSpec:
+    """A named stage dataset: one source, or several when built from base sets."""
+
     name: str
-    path: object            # str, or list[str] for combined datasets
-    split: object
-    segment: object
-    gen_data: object        # bool, or list[bool] for combined
+    sources: tuple[SourceSpec, ...]
     augment_num: int
-    proportion: object = 1.0
-    combined: bool = False
-    base_sets: list[str] = field(default_factory=list)
+    base_sets: tuple[str, ...] = ()
+
+    @property
+    def combined(self) -> bool:
+        return bool(self.base_sets)
+
+    # Scalar-or-list views over the sources (the reference's field shapes).
+    def _view(self, field: str):
+        values = [getattr(s, field) for s in self.sources]
+        return values if self.combined else values[0]
+
+    @property
+    def path(self):
+        return self._view("path")
+
+    @property
+    def split(self):
+        return self._view("split")
+
+    @property
+    def segment(self):
+        return self._view("segment")
+
+    @property
+    def gen_data(self):
+        return self._view("gen_data")
+
+    @property
+    def proportion(self):
+        return self._view("proportion")
 
 
 @dataclass(frozen=True)
@@ -52,27 +93,67 @@ class Schedule:
     def resolved_stages(self) -> list[tuple[DatasetSpec, int, bool]]:
         return [(self.datasets[s.key], s.epochs, s.letskip) for s in self.stages]
 
+    def _collect(self, field: str) -> list[str]:
+        own = [getattr(self.test_set, field), getattr(self.valid_set, field)]
+        source_field = "path" if field == "data" else field
+        own += [getattr(s, source_field)
+                for d in self.datasets.values() if not d.combined
+                for s in d.sources]
+        return own
+
     @property
     def data_paths(self) -> list[str]:
-        return _flatten([self.test_set.data, self.valid_set.data,
-                         *[d.path for d in self.datasets.values() if not d.combined]])
+        return self._collect("data")
 
     @property
     def split_paths(self) -> list[str]:
-        return _flatten([self.test_set.split, self.valid_set.split,
-                         *[d.split for d in self.datasets.values() if not d.combined]])
+        return self._collect("split")
 
     @property
     def segment_paths(self) -> list[str]:
-        return _flatten([self.test_set.segment, self.valid_set.segment,
-                         *[d.segment for d in self.datasets.values() if not d.combined]])
+        return self._collect("segment")
 
 
-def _flatten(items) -> list[str]:
-    out: list[str] = []
-    for item in items:
-        out.extend(item if isinstance(item, list) else [item])
-    return out
+def _fraction(value, where: str) -> float:
+    f = float(value)
+    if not 0.0 <= f <= 1.0:
+        raise ValueError(f"{where}: proportion must be in [0, 1], got {f}")
+    return f
+
+
+def _count(value, where: str) -> int:
+    n = int(value)
+    if n < 0:
+        raise ValueError(f"{where}: augment_num must be non-negative, got {n}")
+    return n
+
+
+def _source(raw: dict, where: str) -> SourceSpec:
+    return SourceSpec(path=raw["path"], split=raw["split"], segment=raw["segment"],
+                      gen_data=bool(raw["gen_data"]),
+                      proportion=_fraction(raw.get("proportion", 1.0), where))
+
+
+def _combined(name: str, raw: dict, datasets: dict[str, DatasetSpec]) -> DatasetSpec:
+    bases = []
+    for base_name in raw["base_sets"]:
+        if base_name not in datasets:
+            raise ValueError(
+                f"combined dataset '{name}' references unknown base set '{base_name}'")
+        bases.append(datasets[base_name])
+    proportions = [_fraction(p, f"combined_datasets.{name}") for p in raw["proportion"]]
+    sources = tuple(
+        SourceSpec(path=b.sources[0].path, split=b.sources[0].split,
+                   segment=b.sources[0].segment, gen_data=b.sources[0].gen_data,
+                   proportion=p)
+        for b, p in zip(bases, proportions))
+    default_augment = min(b.augment_num for b in bases)
+    return DatasetSpec(
+        name=name, sources=sources,
+        augment_num=_count(raw.get("augment_num", default_augment),
+                           f"combined_datasets.{name}"),
+        base_sets=tuple(raw["base_sets"]),
+    )
 
 
 def _eval_set(raw: dict) -> EvalSet:
@@ -81,56 +162,27 @@ def _eval_set(raw: dict) -> EvalSet:
 
 
 def from_dict(raw: dict) -> Schedule:
-    """Validate and build a :class:`Schedule` from a parsed JSON dict."""
+    """Validate a parsed schedule JSON into a :class:`Schedule`."""
     try:
-        datasets: dict[str, DatasetSpec] = {}
-        for name, d in raw["datasets"].items():
-            augment_num = int(d["augment_num"])
-            if augment_num < 0:
-                raise ValueError("augment_num must be non-negative")
-            prop = float(d.get("proportion", 1.0))
-            if not 0.0 <= prop <= 1.0:
-                raise ValueError("proportion must be in [0, 1]")
-            datasets[name] = DatasetSpec(
-                name=name, path=d["path"], split=d["split"], segment=d["segment"],
-                gen_data=bool(d["gen_data"]), augment_num=augment_num, proportion=prop,
-            )
-
+        datasets = {
+            name: DatasetSpec(name=name,
+                              sources=(_source(d, f"datasets.{name}"),),
+                              augment_num=_count(d["augment_num"], f"datasets.{name}"))
+            for name, d in raw["datasets"].items()
+        }
         for name, c in raw.get("combined_datasets", {}).items():
-            base_sets = c["base_sets"]
-            for b in base_sets:
-                if b not in datasets:
-                    raise ValueError(f"combined dataset '{name}' references unknown base set '{b}'")
-            proportions = c["proportion"]
-            for p in proportions:
-                if not 0.0 <= p <= 1.0:
-                    raise ValueError("proportion must be in [0, 1]")
-            augment_num = int(c.get("augment_num",
-                                    min(datasets[b].augment_num for b in base_sets)))
-            if augment_num < 0:
-                raise ValueError("augment_num must be non-negative")
-            datasets[name] = DatasetSpec(
-                name=name,
-                path=[datasets[b].path for b in base_sets],
-                split=[datasets[b].split for b in base_sets],
-                segment=[datasets[b].segment for b in base_sets],
-                gen_data=[datasets[b].gen_data for b in base_sets],
-                augment_num=augment_num, proportion=proportions,
-                combined=True, base_sets=list(base_sets),
-            )
+            datasets[name] = _combined(name, c, datasets)
 
         stages = [Stage(key=s["key"], epochs=int(s["epochs"]),
                         letskip=bool(s.get("letskip", False)))
                   for s in raw["schedule"]]
-        for s in stages:
-            if s.key not in datasets:
-                raise ValueError(f"schedule references unknown dataset '{s.key}'")
+        unknown = [s.key for s in stages if s.key not in datasets]
+        if unknown:
+            raise ValueError(f"schedule references unknown dataset '{unknown[0]}'")
 
-        return Schedule(
-            test_set=_eval_set(raw["test_set"]),
-            valid_set=_eval_set(raw["valid_set"]),
-            datasets=datasets, stages=stages,
-        )
+        return Schedule(test_set=_eval_set(raw["test_set"]),
+                        valid_set=_eval_set(raw["valid_set"]),
+                        datasets=datasets, stages=stages)
     except (KeyError, TypeError, ValueError) as exc:
         raise ValueError(f"Invalid schedule: {exc}") from exc
 

@@ -1,49 +1,81 @@
 """Multichannel wearable-vest PCG loader.
 
-Behavioral contract from reference src/mpcg_wav2vec/datasets/vest.py:27-113: one multichannel
-WAV per recording (integer PCM scaled to [-1, 1]); fixed channel layout (PCG microphones 1-7
-in WAV columns 0-6, ECG lead ``E`` col 7, ``E2`` col 8); recordings matched to patients by
-filename substring; per-channel PCG/ECG preprocessing; min-length channel stack; segmentation;
-augmentation deferred to the FragmentDataset (identical transform across channels).
+One multichannel WAV per recording (integer PCM scaled to [-1, 1]); the fixed physical
+layout — PCG microphones 1-7 in WAV columns 0-6, ECG lead ``E`` column 7, ``E2`` column 8 —
+and the rest of the behavior (filename-substring patient matching, per-channel PCG/ECG
+chains, min-length channel stack, windowing, augmentation deferred to the FragmentDataset
+with one transform shared across channels) follow reference
+src/mpcg_wav2vec/datasets/vest.py:27-113.
+
+The requested channel subset is resolved once into a :class:`ChannelPlan` (WAV columns +
+per-channel chain selection) instead of being re-derived per record.
 """
 
 from __future__ import annotations
 
 import os
+from dataclasses import dataclass
 from functools import partial
 
 import numpy as np
 from scipy.io import wavfile
-from tqdm import tqdm
 
 from ..augment import AugmentConfig, augment_multi_pcg
 from ..signal import WindowSpec, segment
-from .cinc import binary_label, label_column, preprocess_ecg, preprocess_pcg, read_split
+from .common import (
+    binary_label,
+    ecg_chain,
+    label_column,
+    pcg_chain,
+    progress,
+    read_split,
+    stack_min_length,
+)
 from .fragments import Fragment, FragmentDataset
 
-# Microphone / lead -> WAV column index.
+# Microphone / lead name -> WAV column index (fixed physical vest layout).
 VEST_CHANNEL_MAP: dict[object, int] = {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5, 7: 6, "E": 7, "E2": 8}
 
-ECG_LEADS = ("E", "E2")
+ECG_LEADS = frozenset({"E", "E2"})
+
+
+@dataclass(frozen=True)
+class ChannelPlan:
+    """Resolved channel subset: WAV column + which preprocessing chain each one takes."""
+
+    columns: tuple[int, ...]
+    is_ecg: tuple[bool, ...]
+
+    @classmethod
+    def resolve(cls, channels: list) -> "ChannelPlan":
+        picked = [(VEST_CHANNEL_MAP[c], c in ECG_LEADS)
+                  for c in channels if c in VEST_CHANNEL_MAP]
+        return cls(columns=tuple(c for c, _ in picked), is_ecg=tuple(e for _, e in picked))
+
+    def preprocess(self, signal: np.ndarray, fs: float, fs_out: int) -> np.ndarray | None:
+        """[T_raw, C_wav] -> [T, C_plan] through per-channel chains; None if no column fits."""
+        chains = [(ecg_chain if is_ecg else pcg_chain)(signal[:, col], fs, fs_out)
+                  for col, is_ecg in zip(self.columns, self.is_ecg)
+                  if col < signal.shape[1]]
+        return stack_min_length(chains) if chains else None
 
 
 def read_vest_wav(path: str) -> tuple[np.ndarray, int]:
-    """Read a multichannel WAV as float32 ``[T, C]`` (integer PCM scaled into [-1, 1])."""
+    """Multichannel WAV as float32 ``[T, C]`` (integer PCM scaled into [-1, 1])."""
     fs, signal = wavfile.read(path)
     if np.issubdtype(signal.dtype, np.integer):
         signal = signal.astype(np.float32) / np.iinfo(signal.dtype).max
     else:
         signal = signal.astype(np.float32)
-    if signal.ndim == 1:
-        signal = signal[:, None]
-    return signal, fs
+    return (signal[:, None] if signal.ndim == 1 else signal), fs
 
 
 def patient_files(data_dir: str, patient: str) -> list[str]:
+    """WAVs belonging to ``patient``, matched by filename substring."""
     return sorted(
-        os.path.join(data_dir, f)
-        for f in os.listdir(data_dir)
-        if patient in f and f.lower().endswith(".wav")
+        os.path.join(data_dir, name)
+        for name in os.listdir(data_dir)
+        if patient in name and name.lower().endswith(".wav")
     )
 
 
@@ -59,36 +91,29 @@ def build_fragments(
 ) -> list[Fragment]:
     df = read_split(csv_path, subset, fold)
     col = label_column(df)
-    columns = [(c, VEST_CHANNEL_MAP[c]) for c in channels if c in VEST_CHANNEL_MAP]
-    fragments: list[Fragment] = []
+    plan = ChannelPlan.resolve(channels)
 
-    for _, row in tqdm(df.iterrows(), total=len(df),
-                       desc=f"Loading vest ({len(columns)}ch) [{subset}]", unit="rec"):
-        patient = str(row["patient"])
-        label = binary_label(row[col])
+    fragments: list[Fragment] = []
+    rows = progress(list(zip(df["patient"], df[col])),
+                    desc=f"Loading vest ({len(plan.columns)}ch) [{subset}]")
+    for patient, raw_label in rows:
+        patient, label = str(patient), binary_label(raw_label)
         for wav_path in patient_files(data_dir, patient):
             signal, fs = read_vest_wav(wav_path)
-            processed = [
-                preprocess_ecg(signal[:, idx], fs, fs_out) if name in ECG_LEADS
-                else preprocess_pcg(signal[:, idx], fs, fs_out)
-                for name, idx in columns
-                if idx < signal.shape[1]
-            ]
-            if not processed:
+            stacked = plan.preprocess(signal, fs, fs_out)
+            if stacked is None:
                 continue
-            n = min(len(ch) for ch in processed)
-            stacked = np.stack([ch[:n] for ch in processed], axis=1)    # [T, C]
-            for w in segment(stacked, fs_out, window):                   # [N, win, C]
-                fragments.append(Fragment(waveform=w, label=label, patient=patient))
+            fragments.extend(
+                Fragment(waveform=w, label=label, patient=patient)
+                for w in segment(stacked, fs_out, window))
     return fragments
 
 
 def multi_augment(wave: np.ndarray, fs: int, cfg: AugmentConfig,
                   rng: np.random.Generator | None = None) -> np.ndarray:
-    channels = [wave[:, i] for i in range(wave.shape[1])]
-    augmented = augment_multi_pcg(channels, fs, cfg, rng=rng)
-    n = min(len(c) for c in augmented)
-    return np.stack([c[:n] for c in augmented], axis=1)
+    """One shared augmentation across all channels (preserves inter-channel phase)."""
+    augmented = augment_multi_pcg(list(wave.T), fs, cfg, rng=rng)
+    return stack_min_length(augmented)
 
 
 def vest_dataset(

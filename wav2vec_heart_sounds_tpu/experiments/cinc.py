@@ -54,6 +54,7 @@ def run(
     run_label: str = "",
     mesh=None,
     seed: int = 0,
+    device_augment: bool = False,
     encoder_config=None,   # test/CI hook: substitute a small Wav2Vec2Config
 ) -> dict:
     cfg = augment_config or AugmentConfig()
@@ -77,6 +78,17 @@ def run(
                                 ecg=load_ecg, fold=fold),
     }
 
+    # On-device batch augmentation fused into the jitted train step — the hook the
+    # reference exposes but never wires (reference classify/trainer.py:44,67-68); mono
+    # branches only (the jax twin covers the [B, T] PCG subset, augment/jaxaug.py).
+    batch_transform = None
+    if device_augment:
+        from functools import partial
+
+        from ..augment.jaxaug import augment_pcg_batch
+
+        batch_transform = partial(augment_pcg_batch, fs=fs, cfg=cfg)
+
     def branch(channel: int, label: str):
         bcfg = _branch_config(fs, random_init, encoder_config)
         model, variables = build_classifier(bcfg, jax.random.key(seed), win_len)
@@ -84,7 +96,8 @@ def run(
         train_ds = FragmentDataset(frags["train"], fs=fs, channel=channel)
         valid_ds = FragmentDataset(frags["valid"], fs=fs, channel=valid_channel)
         trainer = SupervisedTrainer(model, variables, optimizer_name=optimizer, lr=lr,
-                                    classifier_config=bcfg, mesh=mesh, seed=seed, log_dir=log_dir)
+                                    classifier_config=bcfg, mesh=mesh, seed=seed, log_dir=log_dir,
+                                    batch_transform=None if load_ecg else batch_transform)
         trainer.fit(make_loader(train_ds, batch_size, True, seed, win_len),
                     make_loader(valid_ds, batch_size, False, seed, win_len),
                     train_epochs, max_batches, label=label)

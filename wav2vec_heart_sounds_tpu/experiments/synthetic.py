@@ -6,8 +6,14 @@ one trainer persist across an ordered stage schedule interleaving real CinC data
 ``augment_num`` + lazy PCG augmentation, and fits against a fixed validation set (best-MCC
 restore happens inside each fit); final evaluation on the schedule's test set.
 
-Note: like the reference, ``letskip`` is parsed but not acted on, and stage ``proportion``
-applies to generated datasets only (reference synthetic.py:27-29,64).
+Two deliberate extensions over the reference, which parses but never acts on these fields
+(reference synthetic.py:27-29,64):
+
+* ``proportion`` applies to **real** datasets too — a seeded patient-level subsample of the
+  built fragments — not only to generated manifests;
+* ``letskip`` is a live early-stop hook: a letskip-marked stage is skipped when the previous
+  stage failed to improve the best validation MCC (the model has converged; optional stages
+  stop burning epochs).
 """
 
 from __future__ import annotations
@@ -15,12 +21,13 @@ from __future__ import annotations
 from functools import partial
 
 import jax
+import numpy as np
 
 from ..augment import AugmentConfig
 from ..data.cinc import build_fragments, pcg_augment
-from ..data.fragments import FragmentDataset
+from ..data.fragments import Fragment, FragmentDataset
 from ..data.generated import generated_fragments
-from ..data.schedule import Schedule, load_schedule
+from ..data.schedule import Schedule, SourceSpec, load_schedule
 from ..models.build import build_classifier
 from ..models.classifier import ClassifierConfig
 from ..signal import WindowSpec
@@ -29,27 +36,25 @@ from ..train.evaluate import evaluate, make_apply_fn
 from .common import append_result, make_loader
 
 
-def _stage_fragments(spec, fs, window, proportion):
-    if spec.combined:
-        # Combined datasets concatenate their base sets (paired proportions apply to the
-        # generated members) — an extension over the reference, whose runner only resolved
-        # non-combined stages (reference experiments/synthetic.py:26-29).
-        props = (spec.proportion if isinstance(spec.proportion, list)
-                 else [spec.proportion] * len(spec.path))
-        frags = []
-        for path, split, gen, prop in zip(spec.path, spec.split, spec.gen_data, props):
-            if gen:
-                frags += generated_fragments(path, fs_out=fs, window=window,
-                                             proportion=float(prop))
-            else:
-                frags += build_fragments(path, split, "train", fs_out=fs, window=window,
-                                         ecg=False)
-        return frags
-    if isinstance(spec.gen_data, bool) and spec.gen_data:
-        return generated_fragments(spec.path, fs_out=fs, window=window,
-                                   proportion=proportion)
-    return build_fragments(spec.path, spec.split, "train", fs_out=fs, window=window,
-                           ecg=False)
+def subsample_patients(fragments: list[Fragment], proportion: float,
+                       seed: int = 0) -> list[Fragment]:
+    """Keep a seeded ``proportion`` of source patients (augmented copies follow their base)."""
+    if proportion >= 1.0 or not fragments:
+        return fragments
+    patients = sorted({f.patient.split("#aug")[0] for f in fragments})
+    rng = np.random.default_rng(seed)
+    keep = set(rng.permutation(patients)[:max(1, round(len(patients) * proportion))])
+    return [f for f in fragments if f.patient.split("#aug")[0] in keep]
+
+
+def source_fragments(source: SourceSpec, fs: int, window, seed: int = 0) -> list[Fragment]:
+    """Fragments of one schedule source: generated manifest or real CinC records."""
+    if source.gen_data:
+        return generated_fragments(source.path, fs_out=fs, window=window,
+                                   proportion=source.proportion, seed=seed)
+    frags = build_fragments(source.path, source.split, "train", fs_out=fs, window=window,
+                            ecg=False)
+    return subsample_patients(frags, source.proportion, seed)
 
 
 def run(
@@ -92,16 +97,26 @@ def run(
     trainer = SupervisedTrainer(model, variables, optimizer_name=optimizer, lr=lr,
                                 classifier_config=ccfg, mesh=mesh, seed=seed, log_dir=log_dir)
 
-    for spec, epochs, _letskip in schedule.resolved_stages():
-        frags = _stage_fragments(spec, fs, window, float(spec.proportion)
-                                 if not isinstance(spec.proportion, list) else 1.0)
+    best_mcc = -1.0
+    improved = True           # the first stage always runs
+    skipped: list[str] = []
+    for spec, epochs, letskip in schedule.resolved_stages():
+        if letskip and not improved:
+            trainer.log(f"[{spec.name}] letskip: no validation improvement last stage, "
+                        "skipping")
+            skipped.append(spec.name)
+            continue
+        frags = [f for source in spec.sources
+                 for f in source_fragments(source, fs, window, seed)]
         stage_ds = FragmentDataset(frags, fs=fs, augment_num=spec.augment_num,
                                    augment_fn=augment_fn)
-        trainer.fit(make_loader(stage_ds, batch_size, True, seed, win_len),
-                    valid_loader, epochs, max_batches, label=f"[{spec.name}]")
+        stage_mcc = trainer.fit(make_loader(stage_ds, batch_size, True, seed, win_len),
+                                valid_loader, epochs, max_batches, label=f"[{spec.name}]")
+        improved = stage_mcc > best_mcc
+        best_mcc = max(best_mcc, stage_mcc)
 
     metrics = evaluate(make_apply_fn(model, trainer.variables), test_loader, max_batches)
     record = {"schedule": schedule_path, "fs": fs, "random_init": random_init,
-              "run_label": run_label, **metrics}
+              "run_label": run_label, "skipped_stages": skipped, **metrics}
     append_result(results_json, record)
     return record

@@ -152,15 +152,22 @@ class SupervisedTrainer:
         """One epoch. Device syncs are deferred to the end of the epoch: the step's loss and
         predictions stay on device while the host assembles (and augments) the next batch,
         so host data work overlaps device compute without an explicit prefetch thread."""
+        from ..data.loader import prefetch_threaded
+
         cm = ConfusionMatrix()
         pending: list[tuple] = []
         lr = jnp.asarray(self.schedule(self.state.epoch), jnp.float32)
-        for i, batch in enumerate(batcher):
+
+        def to_device(batch):
+            # Runs on the prefetch thread: host->device transfer overlaps device compute.
+            return (batch,
+                    maybe_shard_batch(batch["waveform"], self.mesh),
+                    maybe_shard_batch(batch["label"], self.mesh),
+                    maybe_shard_batch(batch["valid"].astype(np.float32), self.mesh))
+
+        for i, (batch, x, y, valid) in enumerate(prefetch_threaded(batcher, to_device)):
             if max_batches is not None and i >= max_batches:
                 break
-            x = maybe_shard_batch(batch["waveform"], self.mesh)
-            y = maybe_shard_batch(batch["label"], self.mesh)
-            valid = maybe_shard_batch(batch["valid"].astype(np.float32), self.mesh)
             if train:
                 self.key, sub = jax.random.split(self.key)
                 (self.state.params, self.state.loss_params, self.state.opt_state,

@@ -1,63 +1,78 @@
-"""Binary classification metrics: one confusion-matrix accumulator.
+"""Binary classification metrics.
 
-Contract from reference src/mpcg_wav2vec/classify/metrics.py:14-63 — the paper's exact metric
-set: accuracy, UAR, sensitivity, specificity, NPV, precision, F1, MCC.
+Reports the paper's exact metric set — accuracy, UAR, sensitivity, specificity, NPV,
+precision, F1, MCC (behavior of reference src/mpcg_wav2vec/classify/metrics.py:14-63) —
+from a single 2x2 count matrix. The accumulator is vectorised: a batch of (true, pred)
+pairs becomes one ``bincount`` over the 4 joint outcomes, and every statistic is derived
+from the matrix in one place, so adding a metric is a one-line change.
 """
 
 from __future__ import annotations
 
-import math
-from dataclasses import dataclass
-
 import numpy as np
 
 
-@dataclass
 class ConfusionMatrix:
-    tp: int = 0
-    tn: int = 0
-    fp: int = 0
-    fn: int = 0
+    """2x2 count matrix ``m[truth, prediction]`` for labels in {0, 1}."""
+
+    __slots__ = ("m",)
+
+    def __init__(self):
+        self.m = np.zeros((2, 2), dtype=np.int64)
 
     def update(self, y_true, y_pred, valid=None) -> None:
-        y_true = np.asarray(y_true).astype(np.int64).ravel()
-        y_pred = np.asarray(y_pred).astype(np.int64).ravel()
-        if valid is None:
-            valid = np.ones_like(y_true, dtype=bool)
-        else:
-            valid = np.asarray(valid, dtype=bool).ravel()
-        t, p = y_true[valid], y_pred[valid]
-        self.tp += int(np.sum((t == 1) & (p == 1)))
-        self.tn += int(np.sum((t == 0) & (p == 0)))
-        self.fp += int(np.sum((t == 0) & (p == 1)))
-        self.fn += int(np.sum((t == 1) & (p == 0)))
+        t = np.asarray(y_true, dtype=np.int64).ravel()
+        p = np.asarray(y_pred, dtype=np.int64).ravel()
+        joint = 2 * t + p                       # 0=TN 1=FP 2=FN 3=TP
+        if valid is not None:
+            joint = joint[np.asarray(valid, dtype=bool).ravel()]
+        self.m += np.bincount(joint, minlength=4).reshape(2, 2)
+
+    # Named cells, for callers and tests that address counts directly.
+    @property
+    def tn(self) -> int:
+        return int(self.m[0, 0])
+
+    @property
+    def fp(self) -> int:
+        return int(self.m[0, 1])
+
+    @property
+    def fn(self) -> int:
+        return int(self.m[1, 0])
+
+    @property
+    def tp(self) -> int:
+        return int(self.m[1, 1])
 
     @property
     def total(self) -> int:
-        return self.tp + self.tn + self.fp + self.fn
-
-    @staticmethod
-    def _safe(num, den) -> float:
-        return num / den if den else 0.0
+        return int(self.m.sum())
 
     def stats(self) -> dict[str, float]:
-        sens = self._safe(self.tp, self.tp + self.fn)
-        spec = self._safe(self.tn, self.tn + self.fp)
-        ppv = self._safe(self.tp, self.tp + self.fp)
-        npv = self._safe(self.tn, self.tn + self.fn)
-        f1 = self._safe(2 * ppv * sens, ppv + sens)
-        denom = math.sqrt((self.tp + self.fp) * (self.tp + self.fn)
-                          * (self.tn + self.fp) * (self.tn + self.fn))
-        mcc = (self.tp * self.tn - self.fp * self.fn) / denom if denom else 0.0
+        m = self.m.astype(np.float64)
+        support = m.sum(axis=1)                 # actual negatives / positives
+        predicted = m.sum(axis=0)               # predicted negatives / positives
+        diag = np.diagonal(m)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            recall = np.where(support > 0, diag / support, 0.0)       # [spec, sens]
+            value = np.where(predicted > 0, diag / predicted, 0.0)    # [npv, precision]
+        spec, sens = recall
+        npv, prec = value
+        f1 = 2.0 * prec * sens / (prec + sens) if (prec + sens) > 0 else 0.0
+
+        det = float(np.linalg.det(m))           # tp*tn - fp*fn
+        denom = float(np.sqrt(np.prod(np.concatenate([support, predicted]))))
         return {
-            "accuracy": self._safe(self.tp + self.tn, self.total),
-            "uar": 0.5 * (sens + spec),
-            "sensitivity": sens,
-            "specificity": spec,
-            "npv": npv,
-            "precision": ppv,
-            "f1": f1,
-            "mcc": mcc,
+            "accuracy": float(diag.sum() / m.sum()) if m.sum() else 0.0,
+            "uar": float(recall.mean()),
+            "sensitivity": float(sens),
+            "specificity": float(spec),
+            "npv": float(npv),
+            "precision": float(prec),
+            "f1": float(f1),
+            "mcc": det / denom if denom else 0.0,
         }
 
     def __str__(self) -> str:
