@@ -152,3 +152,74 @@ def test_hf_parity_tiny(seq_len):
     out = np.asarray(model.apply({"params": params}, jnp.asarray(x)))
     assert out.shape == ref.shape
     np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+# --- torch-free golden parity (round-1 VERDICT "next #5") ---------------------------
+#
+# tests/golden/wav2vec2_tiny_parity.npz stores a tiny random-init HF Wav2Vec2Model's
+# converted parameters plus its torch activations for three input lengths (even / odd /
+# prime, exercising conv edge behavior). The pin survives environments without torch and
+# catches any regression in the model or the weight-convention assumptions baked into
+# hf_port (kernel transposes, weight-norm materialisation, padding).
+
+GOLDEN = "tests/golden/wav2vec2_tiny_parity.npz"
+
+
+def _golden_params_and_cases():
+    import os
+    data = np.load(os.path.join(os.path.dirname(os.path.dirname(__file__)), GOLDEN))
+    params: dict = {}
+    cases = {}
+    for key in data.files:
+        kind, _, rest = key.partition(":")
+        if kind == "param":
+            node = params
+            *path, leaf = rest.split("/")
+            for p in path:
+                node = node.setdefault(p, {})
+            node[leaf] = data[key]
+        else:
+            cases.setdefault(rest, {})[kind] = data[key]
+    return params, cases
+
+
+GOLDEN_CFG = Wav2Vec2Config(
+    conv_dim=(24, 24, 24), conv_kernel=(10, 3, 3), conv_stride=(5, 2, 2),
+    hidden_size=48, num_layers=2, num_heads=4, intermediate_size=96,
+    pos_conv_kernel=16, pos_conv_groups=2,
+)
+
+
+@pytest.mark.parametrize("case", ["even", "odd", "prime"])
+def test_golden_parity_without_torch(case):
+    params, cases = _golden_params_and_cases()
+    model = Wav2Vec2Model(GOLDEN_CFG)
+    out = np.asarray(model.apply({"params": params}, jnp.asarray(cases[case]["in"])))
+    ref = cases[case]["out"]
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=2e-4, rtol=1e-3)
+
+
+def test_lora_wrap_preserves_pretrained_forward():
+    """LoRA adapters are additive-zero at init: a LoRA-wrapped encoder with converted
+    weights must reproduce the plain encoder's output exactly (reference loads LoRA on top
+    of the pretrained checkpoint, classify/wav2vec.py:54-57)."""
+    params, cases = _golden_params_and_cases()
+    x = jnp.asarray(cases["even"]["in"])
+
+    plain = np.asarray(Wav2Vec2Model(GOLDEN_CFG).apply({"params": params}, x))
+
+    import dataclasses
+    lora_cfg = dataclasses.replace(GOLDEN_CFG, lora_rank=4)
+    lora_model = Wav2Vec2Model(lora_cfg)
+    fresh = lora_model.init(jax.random.key(0), x)["params"]
+
+    def merge(init_tree, loaded):
+        out = dict(init_tree)
+        for k, v in loaded.items():
+            out[k] = merge(out[k], v) if isinstance(v, dict) else jnp.asarray(v)
+        return out
+
+    merged = merge(fresh, params)
+    wrapped = np.asarray(lora_model.apply({"params": merged}, x))
+    np.testing.assert_allclose(wrapped, plain, atol=1e-6)
