@@ -223,3 +223,43 @@ def test_lora_wrap_preserves_pretrained_forward():
     merged = merge(fresh, params)
     wrapped = np.asarray(lora_model.apply({"params": merged}, x))
     np.testing.assert_allclose(wrapped, plain, atol=1e-6)
+
+
+class TestTimeAlignedPath:
+    """The tile-aligned time axis (time_align=8) must be bit-equivalent on real frames to
+    the exact-length path (time_align=0): padded conv frames are masked out of GroupNorm
+    stats, pad tokens are masked in attention, and the output is sliced back to the real
+    frame count."""
+
+    def test_conv_time_plan_full_size(self):
+        from wav2vec_heart_sounds_tpu.models.wav2vec2 import conv_time_plan
+        cfg = Wav2Vec2Config()
+        pad_in, padded, real = conv_time_plan(64000, cfg.conv_kernel, cfg.conv_stride, 8)
+        assert real == [12799, 6399, 3199, 1599, 799, 399, 199]
+        assert all(p % 8 == 0 and p >= r for p, r in zip(padded, real))
+        # every layer's frame slices stay in bounds
+        t = pad_in
+        for k, s, p in zip(cfg.conv_kernel, cfg.conv_stride, padded):
+            assert t // s >= p + -(-k // s) - 1
+            assert (t - k) // s + 1 >= p or p >= (t - k) // s + 1 - 8
+            t = p
+
+    @pytest.mark.parametrize("length", [1000, 1001, 997])
+    def test_aligned_matches_exact(self, length):
+        cfg8 = Wav2Vec2Config.tiny()
+        cfg0 = Wav2Vec2Config.tiny(time_align=0)
+        m8, m0 = Wav2Vec2Model(cfg8), Wav2Vec2Model(cfg0)
+        x = jnp.asarray(np.random.default_rng(3).normal(size=(2, length)), jnp.float32)
+        v = m8.init(jax.random.key(0), x)   # identical param trees across both paths
+        out8, out0 = m8.apply(v, x), m0.apply(v, x)
+        assert out8.shape == out0.shape
+        np.testing.assert_allclose(np.asarray(out8), np.asarray(out0), atol=1e-5)
+
+    def test_aligned_train_mode_runs(self):
+        cfg = Wav2Vec2Config.tiny()
+        model = Wav2Vec2Model(cfg)
+        x = jnp.asarray(np.random.default_rng(4).normal(size=(2, 1000)), jnp.float32)
+        v = model.init(jax.random.key(0), x)
+        out = model.apply(v, x, train=True, mask_key=jax.random.key(1),
+                          rngs={"dropout": jax.random.key(2)})
+        assert np.isfinite(np.asarray(out)).all()

@@ -53,6 +53,8 @@ class Wav2Vec2Config:
     lora_alpha: float = 16.0
     lora_dropout: float = 0.05
     remat: bool = False         # rematerialise encoder layers (memory <- FLOPs trade)
+    remat_conv: bool = False    # rematerialise the conv feature encoder in backward
+    time_align: int = 8         # pad all time axes to multiples of this (0 = exact lengths)
 
     @classmethod
     def tiny(cls, **kw) -> "Wav2Vec2Config":
@@ -94,27 +96,108 @@ class ChannelGroupNorm(nn.Module):
     the [B, T', 512] conv activation (the flax GroupNorm path writes one — measured as part
     of the conv-encoder's 43 ms/step HBM traffic). Param names match nn.GroupNorm so HF
     checkpoints port unchanged.
+
+    ``valid_len`` supports tile-aligned padded inputs: frames beyond ``valid_len`` are
+    masked out of the statistic sums (they may hold partial-window garbage), so the
+    statistics are identical to the unpadded computation; the normalized pad frames are
+    don't-care values masked downstream.
     """
     epsilon: float = 1e-5
     dtype: Any = jnp.float32
+    valid_len: int = 0           # 0 = all frames are real
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,))
         bias = self.param("bias", nn.initializers.zeros, (c,))
+        denom = float(self.valid_len or x.shape[1])
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=1, keepdims=True)                       # [B, 1, C]
-        var = jnp.mean(jnp.square(xf), axis=1, keepdims=True) - jnp.square(mean)
+        if self.valid_len and self.valid_len != x.shape[1]:
+            frame = jnp.arange(x.shape[1], dtype=jnp.int32)[None, :, None]
+            xf = jnp.where(frame < self.valid_len, xf, 0.0)
+        mean = jnp.sum(xf, axis=1, keepdims=True) / denom                # [B, 1, C]
+        var = jnp.sum(jnp.square(xf), axis=1, keepdims=True) / denom - jnp.square(mean)
         inv = (jax.lax.rsqrt(var + self.epsilon) * scale[None, None, :]).astype(self.dtype)
         return (x.astype(self.dtype) - mean.astype(self.dtype)) * inv \
             + bias[None, None, :].astype(self.dtype)
 
 
+def conv_time_plan(t: int, kernels, strides, align: int):
+    """Static padding plan for a tile-aligned strided-conv cascade.
+
+    Returns ``(padded_input, padded_lens, real_lens)`` where every padded length is a
+    multiple of ``align`` and large enough that each layer's phase-shifted frame slices stay
+    in bounds (``floor(P_in / s) >= P_out + ceil(k/s) - 1``). Real output frames only ever
+    read real (or zero-padded-waveform) inputs because VALID windows are forward-looking:
+    frame ``t`` of layer ``i`` reads inputs ``s*t .. s*t+k-1 <= real_in - 1``.
+    """
+    real = []
+    n = t
+    for k, s in zip(kernels, strides):
+        n = (n - k) // s + 1
+        real.append(n)
+    ceil_to = lambda v, m: -(-v // m) * m
+    padded = [0] * len(real)
+    p = ceil_to(real[-1], align)
+    need = 0
+    for i in reversed(range(len(real))):
+        k, s = kernels[i], strides[i]
+        padded[i] = p
+        groups = -(-k // s)
+        need = s * (p + groups - 1)
+        if i > 0:
+            p = ceil_to(max(real[i - 1], need), align)
+            # padded input must be a multiple of the next layer's stride for the frame
+            # reshape; align to lcm(align, s) by rounding up to the stride too
+            while p % strides[i] or p < need:
+                p += align
+    pad_input = ceil_to(max(t, need), strides[0])
+    return pad_input, padded, real
+
+
+class PhaseConv(nn.Module):
+    """Strided VALID 1-D conv as phase-split MXU matmuls.
+
+    ``y[:, t] = sum_j x[:, s*t+j] @ W[j]``: the input is viewed as non-overlapping frames of
+    ``s`` samples (``[B, T/s, s*C]``), and the kernel splits into ``ceil(k/s)`` frame-groups,
+    each a plain matmul over a shifted frame slice — pure MXU work instead of the XLA conv
+    lowering that profiled at ~15% MFU on the [B, 12799, 512] activations. Param name/shape
+    (``kernel`` [k, in, out]) matches nn.Conv so HF ports and old checkpoints are unchanged.
+
+    The caller guarantees ``x.shape[1]`` is a multiple of ``stride`` and holds at least
+    ``out_len + ceil(k/s) - 1`` frames (see :func:`conv_time_plan`).
+    """
+    features: int
+    kernel: int
+    stride: int
+    out_len: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, s, out_len = self.kernel, self.stride, self.out_len
+        b, t, cin = x.shape
+        w = self.param("kernel", nn.initializers.lecun_normal(), (k, cin, self.features))
+        f = x.reshape(b, t // s, s * cin)
+        y = None
+        for g in range(-(-k // s)):
+            kk = min(s, k - g * s)
+            wg = w[g * s:g * s + kk].reshape(kk * cin, self.features).astype(self.dtype)
+            seg = jax.lax.slice(f, (0, g, 0), (b, g + out_len, kk * cin))
+            part = seg.astype(self.dtype) @ wg
+            y = part if y is None else y + part
+        return y
+
+
 class FeatureEncoder(nn.Module):
-    """Strided conv stack: raw waveform [B, T] -> latent frames [B, T', conv_dim[-1]].
+    """Strided conv stack: raw waveform [B, T] -> latent frames [B, T'(, padded), conv_dim[-1]].
 
     Group-norm variant: only the first conv is followed by a (channel-wise) GroupNorm.
+    With ``config.time_align > 0`` every intermediate time axis is padded to a tile-aligned
+    length (real frames bit-exact; pad frames are don't-care values masked downstream), so
+    XLA's [B, T, C] <-> [B*T, C] matmul collapses are free bitcasts and the convs run as
+    phase-split matmuls. ``time_align = 0`` keeps the exact-length nn.Conv path.
     """
     config: Wav2Vec2Config
     dtype: Any = jnp.float32
@@ -122,13 +205,32 @@ class FeatureEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
-        h = x[:, :, None].astype(self.dtype)                   # [B, T, 1]
+        if not cfg.time_align:
+            h = x[:, :, None].astype(self.dtype)               # [B, T, 1]
+            for i, (dim, k, s) in enumerate(zip(cfg.conv_dim, cfg.conv_kernel,
+                                                cfg.conv_stride)):
+                h = nn.Conv(dim, kernel_size=(k,), strides=(s,), padding="VALID",
+                            use_bias=False, dtype=self.dtype, name=f"conv_{i}")(h)
+                if i == 0:
+                    h = ChannelGroupNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                                         name="group_norm")(h)
+                h = nn.gelu(h, approximate=False)
+            return h
+
+        pad_in, padded, real = conv_time_plan(x.shape[1], cfg.conv_kernel, cfg.conv_stride,
+                                              cfg.time_align)
+        if pad_in != x.shape[1]:
+            x = jnp.pad(x, ((0, 0), (0, pad_in - x.shape[1])))
+        h = x[:, :, None].astype(self.dtype)
         for i, (dim, k, s) in enumerate(zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)):
             h = nn.Conv(dim, kernel_size=(k,), strides=(s,), padding="VALID",
                         use_bias=False, dtype=self.dtype, name=f"conv_{i}")(h)
+            # Truncate to the tile-aligned plan length; the slice fuses into the following
+            # elementwise ops (GroupNorm mask / GELU), so it costs no extra HBM pass.
+            h = h[:, :padded[i]]
             if i == 0:
                 h = ChannelGroupNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                                     name="group_norm")(h)
+                                     valid_len=real[0], name="group_norm")(h)
             h = nn.gelu(h, approximate=False)
         return h
 
@@ -192,6 +294,7 @@ class LoraDense(nn.Module):
 class SelfAttention(nn.Module):
     config: Wav2Vec2Config
     dtype: Any = jnp.float32
+    valid_len: int = 0           # mask key frames >= valid_len (0 = all real)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -199,6 +302,7 @@ class SelfAttention(nn.Module):
         d = cfg.hidden_size
         nh = cfg.num_heads
         hd = d // nh
+        t_eff = self.valid_len or x.shape[1]
         x = x.astype(self.dtype)
 
         q = LoraDense(d, rank=cfg.lora_rank, alpha=cfg.lora_alpha,
@@ -229,12 +333,16 @@ class SelfAttention(nn.Module):
                 seed = jax.random.randint(self.make_rng("dropout"), (), 0,
                                           jnp.iinfo(jnp.int32).max)
             to_heads = lambda x: jnp.swapaxes(x, 1, 2)        # [B, H, T, hd]
-            out = flash_attention(to_heads(q), to_heads(k), to_heads(v), seed, rate)
+            out = flash_attention(to_heads(q), to_heads(k), to_heads(v), seed, rate,
+                                  t_eff)
             out = jnp.swapaxes(out, 1, 2).astype(self.dtype)
         else:
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                                 preferred_element_type=jnp.float32) \
                 / jnp.sqrt(hd).astype(jnp.float32)
+            if t_eff != x.shape[1]:                # mask padded key frames
+                col = jnp.arange(x.shape[1])[None, None, None, :]
+                scores = jnp.where(col < t_eff, scores, -1e30)
             probs = jax.nn.softmax(scores, axis=-1).astype(self.dtype)
             probs = nn.Dropout(cfg.attention_dropout, deterministic=deterministic)(probs)
             out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
@@ -246,11 +354,13 @@ class EncoderLayer(nn.Module):
     """Post-norm transformer block (wav2vec2-base: do_stable_layer_norm = False)."""
     config: Wav2Vec2Config
     dtype: Any = jnp.float32
+    valid_len: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         cfg = self.config
-        attn = SelfAttention(cfg, dtype=self.dtype, name="attention")(x, deterministic)
+        attn = SelfAttention(cfg, dtype=self.dtype, valid_len=self.valid_len,
+                             name="attention")(x, deterministic)
         attn = _dropout(self, attn, cfg.hidden_dropout, deterministic)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          name="layer_norm")(x + attn)
@@ -273,7 +383,10 @@ class Wav2Vec2Model(nn.Module):
     def __call__(self, x: jnp.ndarray, *, train: bool = False,
                  mask_key: jax.Array | None = None) -> jnp.ndarray:
         cfg = self.config
-        h = FeatureEncoder(cfg, dtype=self.dtype, name="feature_encoder")(x)
+        real_len = cfg.feat_extract_output_length(x.shape[1])
+        fe_cls = nn.remat(FeatureEncoder) if cfg.remat_conv else FeatureEncoder
+        h = fe_cls(cfg, dtype=self.dtype, name="feature_encoder")(x)
+        padded = h.shape[1] != real_len            # tile-aligned pad frames present
         h = FeatureProjection(cfg, dtype=self.dtype,
                               name="feature_projection")(h, deterministic=not train)
 
@@ -283,25 +396,37 @@ class Wav2Vec2Model(nn.Module):
                                 (cfg.hidden_size,))
         if train and mask_key is not None and cfg.mask_time_prob > 0:
             mask = _sample_time_mask(mask_key, h.shape[0], h.shape[1],
-                                     cfg.mask_time_prob, cfg.mask_time_length)
+                                     cfg.mask_time_prob, cfg.mask_time_length,
+                                     valid_len=real_len)
             h = jnp.where(mask[:, :, None], mask_embed.astype(h.dtype)[None, None, :], h)
 
+        if padded:
+            # Zero the pad frames so the positional conv's window over the last real frames
+            # sees exactly the zeros the unpadded computation would (conv pads with zeros).
+            frame = jnp.arange(h.shape[1], dtype=jnp.int32)[None, :, None]
+            h = jnp.where(frame < real_len, h, jnp.zeros((), h.dtype))
         pos = PositionalConvEmbedding(cfg, dtype=self.dtype, name="pos_conv_embed")(h)
         h = h + pos
         h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm")(h)
         h = _dropout(self, h, cfg.hidden_dropout, not train)
         layer_cls = nn.remat(EncoderLayer, static_argnums=(2,)) if cfg.remat else EncoderLayer
+        vl = real_len if padded else 0
         for i in range(cfg.num_layers):
-            h = layer_cls(cfg, dtype=self.dtype, name=f"layers_{i}")(
+            h = layer_cls(cfg, dtype=self.dtype, valid_len=vl, name=f"layers_{i}")(
                 h, not train)
-        return h
+        return h[:, :real_len] if padded else h
 
 
 def _sample_time_mask(key: jax.Array, batch: int, length: int, prob: float,
-                      span: int) -> jnp.ndarray:
-    """SpecAugment-style boolean time mask ``[B, T']``: ~prob*T' span starts, each ``span`` long."""
-    num_spans = max(1, int(prob * length))
-    starts = jax.random.randint(key, (batch, num_spans), 0, max(1, length - span))
+                      span: int, valid_len: int = 0) -> jnp.ndarray:
+    """SpecAugment-style boolean time mask ``[B, T']``: ~prob*T' span starts, each ``span`` long.
+
+    ``valid_len`` (when the time axis is tile-align padded) restricts both the span count and
+    the start positions to the real frames, matching the unpadded sampling distribution.
+    """
+    real = valid_len or length
+    num_spans = max(1, int(prob * real))
+    starts = jax.random.randint(key, (batch, num_spans), 0, max(1, real - span))
     pos = jnp.arange(length)[None, None, :]
     hit = (pos >= starts[:, :, None]) & (pos < starts[:, :, None] + span)
     return jnp.any(hit, axis=1)
