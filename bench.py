@@ -131,6 +131,9 @@ def run_bench(batch_size: int = 96, fs: int = 16000, window_s: float = 4.0,
         frags = [Fragment(w, i % 2, f"p{i}") for i, w in enumerate(host_waves)]
         batcher = Batcher(FragmentDataset(frags, fs=fs), batch_size, train=True, seed=0,
                           target_len=win_len, wire_int16=True)
+        if os.environ.get("W2VHS_AOT") != "0":
+            trainer.aot_warm(jnp.zeros((batch_size, win_len), jnp.int16),
+                             labels, valid)
         trainer._run_epoch(batcher, True, max_batches=3)        # compile + warm
         t0 = time.perf_counter()
         _, loss = trainer._run_epoch(batcher, True, max_batches=steps)
@@ -160,6 +163,11 @@ def run_bench(batch_size: int = 96, fs: int = 16000, window_s: float = 4.0,
         def run_step(key):
             return fwd(trainer.variables, prep(fresh_input(key)))
     else:  # train: preprocess chained into the train-step jit, all device-resident
+        if os.environ.get("W2VHS_AOT") != "0":
+            # AOT executable cache: the first invocation pays the remote compile and
+            # serializes the result; later fresh processes reload it in seconds (the
+            # persistent HLO cache is bypassed by the relay toolchain — PERF.md).
+            trainer.aot_warm(jnp.zeros((batch_size, win_len), jnp.float32), labels, valid)
         state = trainer.state
 
         def run_step(key):

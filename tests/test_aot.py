@@ -1,0 +1,45 @@
+"""AOT executable cache: compile-once / load-later contract on the CPU backend."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from wav2vec_heart_sounds_tpu.utils.aot import cached_compile, _key
+
+
+def test_cached_compile_roundtrip(tmp_path):
+    f = jax.jit(lambda x: jnp.sin(x).sum())
+    x = jnp.arange(8.0)
+    c1 = cached_compile(f, x, cache_dir=tmp_path)
+    v1 = float(c1(x))
+    files = list(tmp_path.glob("*.pjrt"))
+    if not files:
+        pytest.skip("executable serialization unsupported on this backend")
+    # second call must hit the cache (same key) and agree numerically; if the host can't
+    # execute the blob (XLA:CPU embeds compile-machine ISA features) the self-healing
+    # path recompiles and removes the entry — both outcomes must agree numerically
+    c2 = cached_compile(f, x, cache_dir=tmp_path)
+    v2 = float(c2(x))
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
+    assert len(list(tmp_path.glob("*.pjrt"))) <= 1
+
+
+def test_key_tracks_program_and_shapes():
+    f = jax.jit(lambda x: x * 2)
+    g = jax.jit(lambda x: x * 3)
+    x8 = jnp.arange(8.0)
+    x16 = jnp.arange(16.0)
+    kind = getattr(jax.devices()[0], "device_kind", "cpu")
+    kf = _key(f.lower(x8), "cpu", kind)
+    assert kf != _key(g.lower(x8), "cpu", kind)      # different program
+    assert kf != _key(f.lower(x16), "cpu", kind)     # different shape
+    assert kf == _key(jax.jit(lambda x: x * 2).lower(x8), "cpu", kind)  # stable
+
+
+def test_fallback_on_unlowerable():
+    def plain(x):
+        return x + 1
+    # not a jit-wrapped function: .lower is missing -> falls back to the callable itself
+    out = cached_compile(plain, jnp.ones(3))
+    assert out is plain

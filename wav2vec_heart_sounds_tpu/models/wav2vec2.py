@@ -123,35 +123,50 @@ class ChannelGroupNorm(nn.Module):
             + bias[None, None, :].astype(self.dtype)
 
 
-def conv_time_plan(t: int, kernels, strides, align: int):
+def conv_time_plan(t: int, kernels, strides, align: int, fused=None):
     """Static padding plan for a tile-aligned strided-conv cascade.
 
-    Returns ``(padded_input, padded_lens, real_lens)`` where every padded length is a
-    multiple of ``align`` and large enough that each layer's phase-shifted frame slices stay
-    in bounds (``floor(P_in / s) >= P_out + ceil(k/s) - 1``). Real output frames only ever
-    read real (or zero-padded-waveform) inputs because VALID windows are forward-looking:
-    frame ``t`` of layer ``i`` reads inputs ``s*t .. s*t+k-1 <= real_in - 1``.
+    Returns ``(padded_input, padded_lens, real_lens)``. Layers flagged in ``fused`` run as
+    the Pallas conv+GELU kernel; their padded output length must admit a time block
+    (:func:`...ops.pallas.conv.pick_bt`: a [64, 512] multiple-of-16 divisor) and their
+    padded *input* must reserve the kernel's 8-row halo (``P_in >= stride * P_out + 8``).
+    Non-fused layers only need the phase-matmul bound
+    (``P_in >= s * (P_out + ceil(k/s) - 1)``). Keeping the halo requirement out of
+    non-fused layers and the alignment at 16 rather than the block size holds total
+    padding to ~1-2% (a blanket 128-aligned ``P_in >= 2P + 8`` cascade measured ~8.6%
+    extra length at every layer — it cost more than the kernel won).
+
+    Real output frames only ever read real (or zero-padded-waveform) inputs because VALID
+    windows are forward-looking: frame ``t`` of layer ``i`` reads inputs
+    ``s*t .. s*t+k-1 <= real_in - 1``.
     """
+    from ..ops.pallas.conv import pick_bt
+
     real = []
     n = t
     for k, s in zip(kernels, strides):
         n = (n - k) // s + 1
         real.append(n)
+    fused = list(fused) if fused else [False] * len(real)
+    aligns = [16 if f else align for f in fused]
     ceil_to = lambda v, m: -(-v // m) * m
+
+    def settle(p, i, lower):
+        """Round layer i's padded length up until every static constraint holds."""
+        while (p < lower
+               or (i + 1 < len(real) and p % strides[i + 1])
+               or (fused[i] and not pick_bt(p))):
+            p += aligns[i]
+        return p
+
     padded = [0] * len(real)
-    p = ceil_to(real[-1], align)
-    need = 0
+    p = settle(ceil_to(real[-1], aligns[-1]), len(real) - 1, real[-1])
     for i in reversed(range(len(real))):
         k, s = kernels[i], strides[i]
         padded[i] = p
-        groups = -(-k // s)
-        need = s * (p + groups - 1)
+        need = s * p + (8 if fused[i] else s * (-(-k // s) - 1))
         if i > 0:
-            p = ceil_to(max(real[i - 1], need), align)
-            # padded input must be a multiple of the next layer's stride for the frame
-            # reshape; align to lcm(align, s) by rounding up to the stride too
-            while p % strides[i] or p < need:
-                p += align
+            p = settle(ceil_to(max(real[i - 1], need), aligns[i - 1]), i - 1, need)
     pad_input = ceil_to(max(t, need), strides[0])
     return pad_input, padded, real
 
@@ -190,14 +205,46 @@ class PhaseConv(nn.Module):
         return y
 
 
+class FusedConvGelu(nn.Module):
+    """``gelu(VALID strided conv)`` with the fused Pallas kernel on TPU where supported
+    (kernel 3 / stride 2 / 128-multiple channels); XLA conv + exact GELU otherwise.
+    Param name/shape (``kernel`` [k, in, out]) matches nn.Conv so HF ports are unchanged."""
+    features: int
+    kernel: int
+    stride: int
+    out_len: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
+
+        from ..ops.pallas.conv import conv_gelu, conv_gelu_supported
+
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kernel, x.shape[-1], self.features))
+        x = x.astype(self.dtype)
+        if (os.environ.get("W2VHS_NO_FLASH") != "1"
+                and os.environ.get("W2VHS_NO_CONVFUSE") != "1"
+                and conv_gelu_supported(x.shape, self.kernel, self.stride, x.shape[-1],
+                                        self.features, self.out_len)):
+            return conv_gelu(x, w.astype(self.dtype), self.out_len)
+        y = jax.lax.conv_general_dilated(x, w.astype(self.dtype),
+                                         window_strides=(self.stride,), padding="VALID",
+                                         dimension_numbers=("NWC", "WIO", "NWC"))
+        return nn.gelu(y[:, :self.out_len], approximate=False)
+
+
 class FeatureEncoder(nn.Module):
     """Strided conv stack: raw waveform [B, T] -> latent frames [B, T'(, padded), conv_dim[-1]].
 
     Group-norm variant: only the first conv is followed by a (channel-wise) GroupNorm.
     With ``config.time_align > 0`` every intermediate time axis is padded to a tile-aligned
     length (real frames bit-exact; pad frames are don't-care values masked downstream), so
-    XLA's [B, T, C] <-> [B*T, C] matmul collapses are free bitcasts and the convs run as
-    phase-split matmuls. ``time_align = 0`` keeps the exact-length nn.Conv path.
+    XLA's [B, T, C] <-> [B*T, C] matmul collapses are free bitcasts, and the big k=3/s=2
+    conv layers run as fused phase-matmul + GELU Pallas kernels (their plan lengths are
+    128-aligned to match the kernel's time blocks). ``time_align = 0`` keeps the
+    exact-length nn.Conv path.
     """
     config: Wav2Vec2Config
     dtype: Any = jnp.float32
@@ -217,22 +264,37 @@ class FeatureEncoder(nn.Module):
                 h = nn.gelu(h, approximate=False)
             return h
 
+        cin = (1,) + cfg.conv_dim[:-1]
+        fused = [(k == 3 and s == 2 and ci % 128 == 0 and d % 128 == 0 and r >= 1024)
+                 for (d, k, s, ci, r) in zip(cfg.conv_dim, cfg.conv_kernel,
+                                             cfg.conv_stride, cin,
+                                             _real_lens(x.shape[1], cfg))]
         pad_in, padded, real = conv_time_plan(x.shape[1], cfg.conv_kernel, cfg.conv_stride,
-                                              cfg.time_align)
+                                              cfg.time_align, fused=fused)
         if pad_in != x.shape[1]:
             x = jnp.pad(x, ((0, 0), (0, pad_in - x.shape[1])))
         h = x[:, :, None].astype(self.dtype)
         for i, (dim, k, s) in enumerate(zip(cfg.conv_dim, cfg.conv_kernel, cfg.conv_stride)):
-            h = nn.Conv(dim, kernel_size=(k,), strides=(s,), padding="VALID",
-                        use_bias=False, dtype=self.dtype, name=f"conv_{i}")(h)
-            # Truncate to the tile-aligned plan length; the slice fuses into the following
-            # elementwise ops (GroupNorm mask / GELU), so it costs no extra HBM pass.
-            h = h[:, :padded[i]]
             if i == 0:
+                h = nn.Conv(dim, kernel_size=(k,), strides=(s,), padding="VALID",
+                            use_bias=False, dtype=self.dtype, name=f"conv_{i}")(h)
+                # Truncate to the plan length; the slice fuses into the GroupNorm mask.
+                h = h[:, :padded[i]]
                 h = ChannelGroupNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
                                      valid_len=real[0], name="group_norm")(h)
-            h = nn.gelu(h, approximate=False)
+                h = nn.gelu(h, approximate=False)
+            else:
+                h = FusedConvGelu(dim, k, s, padded[i], dtype=self.dtype,
+                                  name=f"conv_{i}")(h)
         return h
+
+
+def _real_lens(t: int, cfg: Wav2Vec2Config) -> list[int]:
+    lens = []
+    for k, s in zip(cfg.conv_kernel, cfg.conv_stride):
+        t = (t - k) // s + 1
+        lens.append(t)
+    return lens
 
 
 class FeatureProjection(nn.Module):

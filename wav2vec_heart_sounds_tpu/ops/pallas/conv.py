@@ -1,0 +1,191 @@
+"""Fused strided-conv + exact-GELU Pallas kernel for the wav2vec2 feature encoder.
+
+Why: XLA lowers the encoder's k=3 / stride-2 512-channel convolutions (reference consumes
+them through HF transformers, src/mpcg_wav2vec/classify/wav2vec.py:48) at ~15% MFU — the
+conv1 forward alone profiled at 16.3 ms/step of a 228 ms B=96 train step. Expressed as
+phase-split matmuls (``y[t] = x[2t..2t+1] @ W01 + x[2t+2] @ W2``) the same math runs at
+full MXU rate, but doing the phase split with XLA ops materialises a [B, T/2, 2C] frame
+view in HBM — a tile-crossing physical reshape that profiled at 6.6 ms per tensor. This
+kernel forms the frame view *in VMEM* (free reindexing), runs the two matmuls with float32
+accumulation, and applies the exact (erf) GELU epilogue in-register, so HBM sees only x,
+the pre-activation (saved for backward), and the GELU output.
+
+The shifted-by-one-frame tap (x[2t+2]) is fed through a second, 8-row haloed input ref so
+blocks never overlap; :func:`wav2vec_heart_sounds_tpu.models.wav2vec2.conv_time_plan`
+guarantees the halo stays in bounds (``P_in >= 2*P_out + 8``).
+
+Backward: ``dpre = dy * gelu'(pre)`` is a cheap XLA elementwise pass; ``dx``/``dW`` ride
+``jax.vjp`` of the XLA conv (its transposed-conv and conv-grad-weights lowerings). A Pallas
+dW kernel (sequential-grid VMEM accumulation of ``f^T @ dpre``) was tried and measured
+~2x slower than XLA's conv-grad on hardware — revisit only with a profile in hand.
+
+Numerics: matmuls in the input dtype (bf16 on TPU) with float32 accumulation — the same
+contract as the XLA conv — and the erf-based GELU, so the aligned-path parity tests hold.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SQRT2 = float(np.sqrt(2.0))
+_INV_SQRT_2PI = float(1.0 / np.sqrt(2.0 * np.pi))
+
+
+def _erf_approx(x):
+    """Abramowitz-Stegun 7.1.26 rational erf (max abs error 1.5e-7; Mosaic has no erf).
+
+    The 1.5e-7 deviation from XLA's erf is two orders of magnitude below the aligned-path
+    parity bar (1e-5) and vanishes against bf16 activation rounding.
+    """
+    sign = jnp.sign(x)
+    a = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * a)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+               + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-a * a))
+
+
+def _gelu_exact(x):
+    return 0.5 * x * (1.0 + _erf_approx(x / _SQRT2))
+
+
+def gelu_grad(x):
+    """d/dx gelu(x) = Phi(x) + x * phi(x) (exact, float32)."""
+    x = x.astype(jnp.float32)
+    return 0.5 * (1.0 + jax.lax.erf(x / _SQRT2)) \
+        + x * jnp.exp(-0.5 * x * x) * _INV_SQRT_2PI
+
+
+def _frames(xm, xh, bg: int, bt: int, cin: int):
+    """2D frame views of a [bg, 2bt, C] block (+8-row halo): f [bg*bt, 2C], f2 [bg*bt, C]."""
+    f = xm.reshape(bg * bt, 2 * cin)
+    shifted = jnp.concatenate([xm[:, 2:, :], xh[:, :2, :]], axis=1)
+    f2 = shifted.reshape(bg, bt, 2 * cin)[:, :, :cin].reshape(bg * bt, cin)
+    return f, f2
+
+
+def _fwd_kernel(xm_ref, xh_ref, w01_ref, w2_ref, o_ref, pre_ref, *, bt: int, cin: int):
+    bg = xm_ref.shape[0]
+    cout = o_ref.shape[-1]
+    f, f2 = _frames(xm_ref[...], xh_ref[...], bg, bt, cin)
+    nn_dims = (((1,), (0,)), ((), ()))
+    y = jax.lax.dot_general(f, w01_ref[...], nn_dims,
+                            preferred_element_type=jnp.float32)
+    y = y + jax.lax.dot_general(f2, w2_ref[...], nn_dims,
+                                preferred_element_type=jnp.float32)
+    y = y.reshape(bg, bt, cout)
+    pre_ref[...] = y.astype(pre_ref.dtype)
+    o_ref[...] = _gelu_exact(y).astype(o_ref.dtype)
+
+
+def pick_bt(out_len: int) -> int:
+    """Time block: a divisor of ``out_len`` that is a multiple of 16 (bf16 sublane tile),
+    in [64, 512], nearest 128. 0 if none exists (caller falls back to XLA or pads more)."""
+    best = 0
+    for bt in range(64, 513, 16):
+        if out_len % bt == 0 and (best == 0 or abs(bt - 128) < abs(best - 128)):
+            best = bt
+    return best
+
+
+def _pick_block(total_b: int, total_t: int) -> tuple[int, int]:
+    """(batch group, time block): ~1 GFLOP per grid step, VMEM blocks of a few MB."""
+    bt = pick_bt(total_t)
+    if not bt:
+        return 0, 0
+    bg = 1
+    for cand in (8, 6, 4, 3, 2):
+        if total_b % cand == 0 and cand * bt <= 1024:
+            bg = cand
+            break
+    return bg, bt
+
+
+def conv_gelu_supported(x_shape, kernel: int, stride: int, cin: int, cout: int,
+                        out_len: int) -> bool:
+    b, t, c = x_shape
+    bg, bt = _pick_block(b, out_len)
+    return (kernel == 3 and stride == 2 and c == cin and cin % 128 == 0
+            and cout % 128 == 0 and bg > 0 and t % 2 == 0
+            and t >= 2 * out_len + 8 and jax.default_backend() != "cpu")
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def conv_gelu(x: jnp.ndarray, w: jnp.ndarray, out_len: int,
+              interpret: bool = False) -> jnp.ndarray:
+    """``gelu(strided_conv(x, w))`` for kernel 3 / stride 2: [B, T, C] -> [B, out_len, Co].
+
+    ``w`` is the flax conv kernel [3, C, Co]. Check :func:`conv_gelu_supported` first.
+    """
+    return _conv_gelu_fwd(x, w, out_len, interpret)[0]
+
+
+def _specs(bg, bt, cin, n_steps_t):
+    xm = pl.BlockSpec((bg, 2 * bt, cin), lambda b, i: (b, i, 0),
+                      memory_space=pltpu.VMEM)
+    # halo: the 8 rows right after this block's 2*bt rows, expressed in 8-row block units
+    xh = pl.BlockSpec((bg, 8, cin), lambda b, i: (b, (i + 1) * (2 * bt // 8), 0),
+                      memory_space=pltpu.VMEM)
+    return xm, xh
+
+
+def _conv_gelu_fwd(x, w, out_len, interpret=False):
+    b, t, cin = x.shape
+    cout = w.shape[-1]
+    bg, bt = _pick_block(b, out_len)
+    grid = (b // bg, out_len // bt)
+    w = w.astype(x.dtype)
+    w01 = w[:2].reshape(2 * cin, cout)
+    w2 = w[2]
+    xm, xh = _specs(bg, bt, cin, grid[1])
+    wspec = lambda shape: pl.BlockSpec(shape, lambda bb, ii: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((b, out_len, cout), x.dtype)
+    out, pre = pl.pallas_call(
+        partial(_fwd_kernel, bt=bt, cin=cin),
+        grid=grid,
+        in_specs=[xm, xh, wspec((2 * cin, cout)), wspec((cin, cout))],
+        out_specs=(pl.BlockSpec((bg, bt, cout), lambda bb, ii: (bb, ii, 0),
+                                memory_space=pltpu.VMEM),) * 2,
+        out_shape=(out_shape, out_shape),
+        interpret=interpret,
+    )(x, _pad_front(x, t), w01, w2)
+    return out, (x, w, pre)
+
+
+def _pad_front(x, t):
+    # The halo ref indexes past the main block; it reads the same array. (Separate name
+    # kept for clarity — pallas allows passing the same array to two refs.)
+    return x
+
+
+def _conv_gelu_bwd(out_len, interpret, residuals, g):
+    x, w, pre = residuals
+    dpre = (g.astype(jnp.float32) * gelu_grad(pre)).astype(x.dtype)
+
+    def conv_fn(xx, ww):
+        y = jax.lax.conv_general_dilated(xx, ww.astype(xx.dtype), window_strides=(2,),
+                                         padding="VALID",
+                                         dimension_numbers=("NWC", "WIO", "NWC"))
+        return y[:, :out_len]
+
+    _, vjp = jax.vjp(conv_fn, x, w)
+    dx, dw = vjp(dpre)
+    return dx, dw.astype(w.dtype)
+
+
+conv_gelu.defvjp(_conv_gelu_fwd, _conv_gelu_bwd)
+
+
+def reference_conv_gelu(x, w, out_len):
+    """XLA reference: gelu(VALID strided conv), for tests and CPU fallback."""
+    y = jax.lax.conv_general_dilated(x, w.astype(x.dtype), window_strides=(2,),
+                                     padding="VALID",
+                                     dimension_numbers=("NWC", "WIO", "NWC"))
+    return jax.nn.gelu(y[:, :out_len], approximate=False)

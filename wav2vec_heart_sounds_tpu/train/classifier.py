@@ -96,6 +96,22 @@ class SupervisedTrainer:
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1, 2))
         self._eval_step = jax.jit(self._eval_step_impl)
 
+    def aot_warm(self, x, y, valid) -> None:
+        """Swap the jitted train step for an AOT-cached executable (``utils.aot``).
+
+        On relay-attached TPUs every fresh process pays minutes of remote compilation for
+        the train step because the persistent compilation cache is bypassed (PERF.md);
+        this compiles once for the example batch shapes and reloads the serialized
+        executable in later processes. Shapes/dtypes must match the real batches exactly
+        (they do — the Batcher is static-shape by design).
+        """
+        from ..utils.aot import cached_compile
+
+        lr = jnp.asarray(self.schedule(self.state.epoch), jnp.float32)
+        self._train_step = cached_compile(
+            self._train_step, self.state.params, self.state.loss_params,
+            self.state.opt_state, x, y, valid, lr, jax.random.key(0))
+
     # --- jitted steps -------------------------------------------------------
 
     @staticmethod
