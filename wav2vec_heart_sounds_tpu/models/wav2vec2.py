@@ -205,10 +205,25 @@ class PhaseConv(nn.Module):
         return y
 
 
+def _conv_fuse_enabled() -> bool:
+    """Opt-in gate for the Pallas conv+GELU kernel (``W2VHS_CONVFUSE=1``).
+
+    Off by default: the measured A/B at B=96 on the v5e is 404.9 w/s for XLA convs vs
+    377.8 w/s fused — XLA fuses the GELU (and its backward) into the conv kernels'
+    epilogues, while the custom-vjp kernel must materialise ``pre``/``dpre`` activations
+    in HBM, and XLA's conv-grad lowerings beat a Pallas dW accumulator ~2x. The kernel
+    wins in isolation (1.57x on the conv alone) but loses the fusion context."""
+    import os
+
+    return (os.environ.get("W2VHS_CONVFUSE") == "1"
+            and os.environ.get("W2VHS_NO_FLASH") != "1")
+
+
 class FusedConvGelu(nn.Module):
-    """``gelu(VALID strided conv)`` with the fused Pallas kernel on TPU where supported
-    (kernel 3 / stride 2 / 128-multiple channels); XLA conv + exact GELU otherwise.
-    Param name/shape (``kernel`` [k, in, out]) matches nn.Conv so HF ports are unchanged."""
+    """``gelu(VALID strided conv)``: XLA conv + exact GELU by default; the fused Pallas
+    kernel when opted in (see :func:`_conv_fuse_enabled`) and supported (kernel 3 /
+    stride 2 / 128-multiple channels). Param name/shape (``kernel`` [k, in, out]) matches
+    nn.Conv so HF ports are unchanged."""
     features: int
     kernel: int
     stride: int
@@ -217,15 +232,12 @@ class FusedConvGelu(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        import os
-
         from ..ops.pallas.conv import conv_gelu, conv_gelu_supported
 
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (self.kernel, x.shape[-1], self.features))
         x = x.astype(self.dtype)
-        if (os.environ.get("W2VHS_NO_FLASH") != "1"
-                and os.environ.get("W2VHS_NO_CONVFUSE") != "1"
+        if (_conv_fuse_enabled()
                 and conv_gelu_supported(x.shape, self.kernel, self.stride, x.shape[-1],
                                         self.features, self.out_len)):
             return conv_gelu(x, w.astype(self.dtype), self.out_len)
@@ -242,9 +254,9 @@ class FeatureEncoder(nn.Module):
     With ``config.time_align > 0`` every intermediate time axis is padded to a tile-aligned
     length (real frames bit-exact; pad frames are don't-care values masked downstream), so
     XLA's [B, T, C] <-> [B*T, C] matmul collapses are free bitcasts, and the big k=3/s=2
-    conv layers run as fused phase-matmul + GELU Pallas kernels (their plan lengths are
-    128-aligned to match the kernel's time blocks). ``time_align = 0`` keeps the
-    exact-length nn.Conv path.
+    conv layers run as fused phase-matmul + GELU Pallas kernels (the plan reserves their
+    halo rows and picks lengths admitting a divisor time block). ``time_align = 0`` keeps
+    the exact-length nn.Conv path.
     """
     config: Wav2Vec2Config
     dtype: Any = jnp.float32
@@ -265,7 +277,9 @@ class FeatureEncoder(nn.Module):
             return h
 
         cin = (1,) + cfg.conv_dim[:-1]
-        fused = [(k == 3 and s == 2 and ci % 128 == 0 and d % 128 == 0 and r >= 1024)
+        fuse_on = _conv_fuse_enabled()
+        fused = [fuse_on and (k == 3 and s == 2 and ci % 128 == 0 and d % 128 == 0
+                              and r >= 1024)
                  for (d, k, s, ci, r) in zip(cfg.conv_dim, cfg.conv_kernel,
                                              cfg.conv_stride, cin,
                                              _real_lens(x.shape[1], cfg))]

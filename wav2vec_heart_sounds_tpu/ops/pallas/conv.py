@@ -1,6 +1,13 @@
 """Fused strided-conv + exact-GELU Pallas kernel for the wav2vec2 feature encoder.
 
-Why: XLA lowers the encoder's k=3 / stride-2 512-channel convolutions (reference consumes
+STATUS: opt-in only (``W2VHS_CONVFUSE=1``), measured a net loss in the full train step —
+404.9 w/s (XLA convs) vs 377.8 w/s (fused) at B=96 on the v5e with an identical padding
+plan. The kernel wins in isolation (1.57x on the conv alone) but the ``custom_vjp``
+boundary forces ``pre``/``dpre`` HBM materialisations that XLA avoids by fusing GELU and
+its gradient into the conv kernels. Kept (with tests) as working infrastructure and as a
+negative result worth not re-learning.
+
+Why it was tried: XLA lowers the encoder's k=3 / stride-2 512-channel convolutions (reference consumes
 them through HF transformers, src/mpcg_wav2vec/classify/wav2vec.py:48) at ~15% MFU — the
 conv1 forward alone profiled at 16.3 ms/step of a 228 ms B=96 train step. Expressed as
 phase-split matmuls (``y[t] = x[2t..2t+1] @ W01 + x[2t+2] @ W2``) the same math runs at
