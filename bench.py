@@ -122,17 +122,41 @@ def run_bench(batch_size: int = 96, fs: int = 16000, window_s: float = 4.0,
 
     if mode == "real":
         # The REAL training loop: Batcher assembly -> int16 wire -> threaded-prefetch
-        # transfer -> jitted train step, exactly as experiments/*.py run it. Windows are
-        # preprocessed at dataset-build time (the real loaders' load-time path).
+        # transfer -> jitted train step, exactly as experiments/*.py run it.
+        #
+        # Default wire is RAW: the loader ships raw 2 kHz windows (8x fewer bytes than
+        # preprocessed 16 kHz — the relay link is the real-loop bottleneck) and the
+        # preprocessing chain runs on device between transfer and train step
+        # (trainer.device_preprocess; <1 ms/batch). W2VHS_REAL_WIRE=16k measures the
+        # reference-style load-time-preprocessed wire instead.
         from wav2vec_heart_sounds_tpu.data import Fragment, FragmentDataset
 
-        host_waves = np.asarray(jax.device_get(prep(jnp.asarray(
-            _raw_batch(batch_size * 4, fs_in, window_s)))), dtype=np.float32)
-        frags = [Fragment(w, i % 2, f"p{i}") for i, w in enumerate(host_waves)]
-        batcher = Batcher(FragmentDataset(frags, fs=fs), batch_size, train=True, seed=0,
-                          target_len=win_len, wire_int16=True)
+        raw_wire = os.environ.get("W2VHS_REAL_WIRE", "raw") != "16k"
+        if raw_wire:
+            host_raw = _raw_batch(batch_size * 4, fs_in, window_s)
+            host_raw /= np.max(np.abs(host_raw))   # wire contract: [-1, 1]
+            frags = [Fragment(w, i % 2, f"p{i}") for i, w in enumerate(host_raw)]
+            wire_len = int(round(window_s * fs_in))
+
+            def dev_prep(x):
+                if jnp.issubdtype(x.dtype, jnp.integer):
+                    x = x.astype(jnp.float32) * (1.0 / 32767.0)
+                return prep(x)
+
+            trainer.device_preprocess = dev_prep
+        else:
+            host_waves = np.asarray(jax.device_get(prep(jnp.asarray(
+                _raw_batch(batch_size * 4, fs_in, window_s)))), dtype=np.float32)
+            frags = [Fragment(w, i % 2, f"p{i}") for i, w in enumerate(host_waves)]
+            wire_len = win_len
+        batcher = Batcher(FragmentDataset(frags, fs=fs if not raw_wire else fs_in),
+                          batch_size, train=True, seed=0,
+                          target_len=wire_len, wire_int16=True)
         if os.environ.get("W2VHS_AOT") != "0":
-            trainer.aot_warm(jnp.zeros((batch_size, win_len), jnp.int16),
+            # raw wire: the step sees float32 [B, win_len] after device preprocessing —
+            # the same executable as train mode; 16k wire: int16 enters the step.
+            trainer.aot_warm(jnp.zeros((batch_size, win_len), jnp.float32) if raw_wire
+                             else jnp.zeros((batch_size, win_len), jnp.int16),
                              labels, valid)
         trainer._run_epoch(batcher, True, max_batches=3)        # compile + warm
         t0 = time.perf_counter()
@@ -148,6 +172,7 @@ def run_bench(batch_size: int = 96, fs: int = 16000, window_s: float = 4.0,
             "unit": "windows/s/chip",
             "vs_baseline": round(value / baseline, 3) if baseline else None,
             "mode": mode,
+            "wire": "raw2k_int16" if raw_wire else "preproc16k_int16",
             "batch_size": batch_size,
             "steps": steps,
             "backend": jax.default_backend(),

@@ -29,6 +29,8 @@ def main():
     labels = jnp.asarray(np.arange(batch) % 2, jnp.int32)
     valid = jnp.ones((batch,), jnp.float32)
     lr = jnp.asarray(1e-3, jnp.float32)
+    if os.environ.get("W2VHS_AOT") != "0":
+        trainer.aot_warm(waves, labels, valid)   # reuse the bench's cached executable
     state = trainer.state
     key = jax.random.key(1)
 

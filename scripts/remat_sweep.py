@@ -21,7 +21,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 import numpy as np
 
 
-def main(configs=((96, False), (96, True), (128, True), (160, True), (192, True))):
+def main(configs=((96, True), (128, True), (160, True), (192, True), (256, True))):
     import jax
     import jax.numpy as jnp
 
@@ -44,6 +44,8 @@ def main(configs=((96, False), (96, True), (128, True), (160, True), (192, True)
             labels = jnp.asarray(np.arange(batch) % 2, jnp.int32)
             valid = jnp.ones((batch,), jnp.float32)
             lr = jnp.asarray(1e-3, jnp.float32)
+            if os.environ.get("W2VHS_AOT") != "0":
+                trainer.aot_warm(waves, labels, valid)  # serialized-executable cache
             state = trainer.state
             key = jax.random.key(1)
 

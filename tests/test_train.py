@@ -192,3 +192,38 @@ def test_fusion_training_end_to_end():
     assert not np.array_equal(before, np.asarray(after))
     metrics = evaluate(make_apply_fn(fusion, trainer.variables), Batcher(ds, 4, False))
     assert "patient" in metrics
+
+
+def test_trainer_raw_wire_device_preprocess():
+    """Raw-wire loop: int16 low-rate windows over the wire, preprocessing on device.
+
+    Mirrors bench.py --mode=real default: the Batcher ships half-rate raw windows and
+    ``device_preprocess`` dequantises + resamples them to the model's input length
+    between transfer and train step (reference ships full preprocessed windows,
+    src/mpcg_wav2vec/experiments/common.py:14-23)."""
+    import jax.numpy as jnp
+
+    model, params, cfg = _tiny_classifier()
+    rng = np.random.default_rng(3)
+    frags = []
+    tt = np.arange(400) / 500.0
+    for i in range(16):
+        label = i % 2
+        x = rng.normal(0, 0.2, 400).astype(np.float32)
+        if label:
+            x += 0.8 * np.sin(2 * np.pi * 120 * tt).astype(np.float32)
+        frags.append(Fragment(x / 2.0, label, f"p{i % 4}"))
+    ds = FragmentDataset(frags, fs=500)
+
+    def dev_prep(x):
+        assert jnp.issubdtype(x.dtype, jnp.integer)   # wire really was int16
+        x = x.astype(jnp.float32) * (1.0 / 32767.0)
+        return jnp.repeat(x, 2, axis=1)               # toy device "resample" 500->1000 Hz
+
+    trainer = SupervisedTrainer(model, params, optimizer_name="adam", lr=3e-3,
+                                device_preprocess=dev_prep, classifier_config=cfg,
+                                log=lambda s: None)
+    train_b = Batcher(ds, 8, True, seed=0, target_len=400, wire_int16=True)
+    valid_b = Batcher(ds, 8, False, target_len=400, wire_int16=True)
+    best = trainer.fit(train_b, valid_b, epochs=2)
+    assert np.isfinite(best)

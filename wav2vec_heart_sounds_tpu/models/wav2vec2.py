@@ -232,6 +232,8 @@ class FusedConvGelu(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        import os
+
         from ..ops.pallas.conv import conv_gelu, conv_gelu_supported
 
         w = self.param("kernel", nn.initializers.lecun_normal(),
@@ -241,6 +243,23 @@ class FusedConvGelu(nn.Module):
                 and conv_gelu_supported(x.shape, self.kernel, self.stride, x.shape[-1],
                                         self.features, self.out_len)):
             return conv_gelu(x, w.astype(self.dtype), self.out_len)
+        if (os.environ.get("W2VHS_CONV_IMPL") == "phase"
+                and x.shape[1] % self.stride == 0):
+            # Phase-split matmul path: XLA's conv fusions on these shapes profile at only
+            # ~32% MFU (implicit-matmul conv scheduling); explicit dots lower as plain
+            # MXU matmuls, and autodiff gives transposed dots with the GELU gradient
+            # fused as an elementwise prologue.
+            k, s, cin = self.kernel, self.stride, x.shape[-1]
+            b, t = x.shape[0], x.shape[1]
+            f = x.reshape(b, t // s, s * cin)
+            y = None
+            for g in range(-(-k // s)):
+                kk = min(s, k - g * s)
+                wg = w[g * s:g * s + kk].reshape(kk * cin, self.features)
+                seg = jax.lax.slice(f, (0, g, 0), (b, g + self.out_len, kk * cin))
+                part = seg @ wg.astype(self.dtype)
+                y = part if y is None else y + part
+            return nn.gelu(y, approximate=False)
         y = jax.lax.conv_general_dilated(x, w.astype(self.dtype),
                                          window_strides=(self.stride,), padding="VALID",
                                          dimension_numbers=("NWC", "WIO", "NWC"))

@@ -56,6 +56,7 @@ class SupervisedTrainer:
         lr: float = 1e-3,
         weight_decay: float = 1e-5,
         batch_transform: Callable | None = None,  # key, [B,T] -> [B,T] on-device augment
+        device_preprocess: Callable | None = None,  # [B,T_wire] -> [B,T] device preproc
         criterion: ContrastiveFocalConfig | None = None,
         classifier_config=None,                   # for trainable_mask; None = train all
         mesh=None,
@@ -70,6 +71,7 @@ class SupervisedTrainer:
         self.log = log
         self.scalars = ScalarLogger(log_dir)
         self.batch_transform = batch_transform
+        self.device_preprocess = device_preprocess
         self.criterion = criterion
         self.key = jax.random.key(seed)
 
@@ -184,6 +186,12 @@ class SupervisedTrainer:
         for i, (batch, x, y, valid) in enumerate(prefetch_threaded(batcher, to_device)):
             if max_batches is not None and i >= max_batches:
                 break
+            if self.device_preprocess is not None:
+                # Raw-wire mode: the loader ships raw low-rate windows (8x fewer bytes on
+                # the transfer-bound relay link) and the preprocessing chain runs on
+                # device here — as chained jitted stages, NOT inside the train-step jit
+                # (one fused program is pathologically slow to compile remotely, PERF.md).
+                x = self.device_preprocess(x)
             if train:
                 self.key, sub = jax.random.split(self.key)
                 (self.state.params, self.state.loss_params, self.state.opt_state,

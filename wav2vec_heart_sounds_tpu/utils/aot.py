@@ -30,6 +30,34 @@ DEFAULT_DIR = Path(os.environ.get("W2VHS_AOT_DIR", "")) if os.environ.get(
     "W2VHS_AOT_DIR") else Path(__file__).resolve().parents[2] / ".aot_cache"
 
 
+_PAYLOAD_RE = None
+
+
+def _canonical_text(text: str) -> str:
+    """Strip Mosaic kernel payloads: their MLIR bytecode serializes nondeterministically
+    (two lowerings of the same program in one process differ inside every
+    ``tpu_custom_call`` backend_config), which would defeat content-addressed caching.
+    Kernel *bodies* are covered by :func:`_kernel_source_digest` instead; call-site
+    shapes/grids stay in the surrounding StableHLO."""
+    global _PAYLOAD_RE
+    if _PAYLOAD_RE is None:
+        import re
+
+        _PAYLOAD_RE = re.compile(r"[A-Za-z0-9+/]{100,}={0,2}")
+    return _PAYLOAD_RE.sub("<payload>", text)
+
+
+def _kernel_source_digest() -> bytes:
+    """Digest of the in-repo Pallas kernel sources — the part of the program that the
+    payload-stripped StableHLO no longer pins."""
+    h = hashlib.sha256()
+    pallas_dir = Path(__file__).resolve().parents[1] / "ops" / "pallas"
+    for p in sorted(pallas_dir.glob("*.py")):
+        h.update(p.name.encode())
+        h.update(p.read_bytes())
+    return h.digest()
+
+
 def _key(lowered, backend: str, device_kind: str) -> str:
     import jax
 
@@ -37,7 +65,8 @@ def _key(lowered, backend: str, device_kind: str) -> str:
     h.update(jax.__version__.encode())
     h.update(backend.encode())
     h.update(device_kind.encode())
-    h.update(lowered.as_text().encode())
+    h.update(_kernel_source_digest())
+    h.update(_canonical_text(lowered.as_text()).encode())
     return h.hexdigest()[:32]
 
 
