@@ -250,3 +250,22 @@ def test_synthetic_letskip_skips_on_no_improvement(cinc_fixture, tmp_path, monke
                            batch_size=4, max_batches=1, encoder_config=TINY)
     assert len(fits) == 2
     assert record["skipped_stages"] == ["real"]
+
+
+def test_classify_cinc_raw_wire(cinc_fixture, tmp_path):
+    """Raw-wire mode: low-rate raw windows over the wire, preprocessing + augmentation on
+    device (the transfer-bound relay design, PERF.md; no reference analogue)."""
+    from wav2vec_heart_sounds_tpu.experiments import cinc
+
+    record = cinc.run(
+        str(cinc_fixture), str(cinc_fixture / "split.csv"),
+        mode="pcg", fs=FS_OUT, window_s=2.0, epochs=1, augment=False,
+        random_init=True, batch_size=4, max_batches=2, wire="raw", fs_wire=500,
+        results_json=str(tmp_path / "r.json"), encoder_config=TINY,
+    )
+    assert record["wire"] == "raw"
+    assert "fragment" in record and 0.0 <= record["fragment"]["accuracy"] <= 1.0
+
+    with pytest.raises(ValueError):
+        cinc.run(str(cinc_fixture), str(cinc_fixture / "split.csv"), mode="pcg_ecg",
+                 fs=FS_OUT, window_s=2.0, epochs=1, wire="raw", encoder_config=TINY)

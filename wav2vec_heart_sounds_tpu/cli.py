@@ -188,6 +188,11 @@ def gen_sample(model_name, weights, data_dir, csv_path, output_dir, num_classes,
               help="legacy regime: half epochs + augmented validation set")
 @click.option("--device-augment", is_flag=True, default=False,
               help="fuse batched PCG augmentation into the jitted train step (mono modes)")
+@click.option("--wire", type=click.Choice(["preproc", "raw"]), default="preproc",
+              help="raw: ship low-rate raw windows and preprocess on device "
+                   "(8x less transfer; mono pcg mode only)")
+@click.option("--fs-wire", type=int, default=2000,
+              help="wire sample rate for --wire raw")
 @click.option("--fold", type=int, default=1)
 @click.option("--max-batches", type=int, default=None)
 @click.option("--results-json", default=None)

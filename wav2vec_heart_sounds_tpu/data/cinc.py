@@ -114,6 +114,47 @@ def build_fragments(
     return fragments
 
 
+def build_raw_fragments(
+    data_dir: str,
+    csv_path: str,
+    subset: str,
+    *,
+    fs_wire: int,
+    window: WindowSpec,
+    fold: int = 1,
+) -> list[Fragment]:
+    """Raw-wire fragments: un-preprocessed mono PCG windows at the low native rate.
+
+    For the transfer-bound relay real loop (PERF.md): windows are cut from the *raw*
+    record at ``fs_wire`` (records at other rates are host-resampled to it) and
+    normalised into the int16 wire range; the full preprocessing chain runs on device per
+    batch (``trainer.device_preprocess``), which is scale-invariant (it ends in abs-max).
+    No host augment copies — raw mode pairs with per-epoch on-device augmentation and the
+    Batcher's balanced bootstrap instead (a deliberate divergence from the reference's
+    frozen whole-record copies, src/mpcg_wav2vec/datasets/cinc.py:96-123)."""
+    from ..signal import resample as host_resample
+
+    df = read_split(csv_path, subset, fold)
+    col = label_column(df)
+    fragments: list[Fragment] = []
+    stream = progress(zip((str(p) for p in df["patient"]),
+                          (binary_label(v) for v in df[col])),
+                      desc=f"Loading CinC raw [{subset}]", total=len(df))
+    for patient, label in stream:
+        try:
+            signal, fs = read_record(data_dir, patient)
+        except (FileNotFoundError, ValueError, OSError):
+            continue
+        pcg = np.asarray(signal[:, 0], dtype=np.float32)
+        if int(round(fs)) != fs_wire:
+            pcg = host_resample(pcg, fs, fs_wire)
+        peak = float(np.max(np.abs(pcg))) or 1.0
+        pcg = pcg / peak
+        fragments.extend(Fragment(waveform=w, label=label, patient=patient)
+                         for w in segment(pcg, fs_wire, window))
+    return fragments
+
+
 def cinc_dataset(
     data_dir: str,
     csv_path: str,

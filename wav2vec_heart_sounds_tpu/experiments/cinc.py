@@ -24,6 +24,20 @@ from ..train.evaluate import evaluate, make_apply_fn
 from .common import append_result, make_loader
 
 
+def _device_prep(fs_wire: int, fs: int, win_len: int):
+    """Dequant + on-device PCG preprocessing for the raw wire (stage-jitted chain)."""
+    import jax.numpy as jnp
+
+    from ..signal import jaxproc
+
+    def prep(x):
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            x = x.astype(jnp.float32) * (1.0 / 32767.0)
+        return jaxproc.preprocess_pcg(x, fs_wire, fs)[:, :win_len]
+
+    return prep
+
+
 def _branch_config(fs: int, random_init: bool, encoder=None) -> ClassifierConfig:
     kw = {"encoder": encoder} if encoder is not None else {}
     return ClassifierConfig(num_classes=2, num_channels=1, random_init=random_init,
@@ -55,6 +69,8 @@ def run(
     mesh=None,
     seed: int = 0,
     device_augment: bool = False,
+    wire: str = "preproc",  # "preproc" (reference parity) | "raw" (low-rate raw wire)
+    fs_wire: int = 2000,
     encoder_config=None,   # test/CI hook: substitute a small Wav2Vec2Config
 ) -> dict:
     cfg = augment_config or AugmentConfig()
@@ -67,16 +83,31 @@ def run(
     two_branch = mode == "pcg_ecg"
     load_ecg = mode in ("ecg", "pcg_ecg")
 
-    frags = {
-        "train": build_fragments(data_dir, csv_path, "train", fs_out=fs, window=window,
-                                 ecg=load_ecg, fold=fold, augment_num=aug_num,
-                                 augment_config=cfg),
-        "valid": build_fragments(data_dir, csv_path, "valid", fs_out=fs, window=window,
-                                 ecg=load_ecg, fold=fold, augment_num=valid_aug,
-                                 augment_config=cfg),
-        "test": build_fragments(data_dir, csv_path, "test", fs_out=fs, window=window,
-                                ecg=load_ecg, fold=fold),
-    }
+    raw_wire = wire == "raw"
+    if raw_wire and load_ecg:
+        raise ValueError("wire='raw' supports the mono 'pcg' mode only")
+    if raw_wire:
+        # Raw wire: un-preprocessed low-rate windows over the host->device link; the
+        # preprocessing chain runs on device per batch and host augment copies are
+        # replaced by per-epoch on-device augmentation (see data.cinc.build_raw_fragments).
+        from ..data.cinc import build_raw_fragments
+
+        frags = {s: build_raw_fragments(data_dir, csv_path, s, fs_wire=fs_wire,
+                                        window=window, fold=fold)
+                 for s in ("train", "valid", "test")}
+        if augment and not device_augment:
+            device_augment = True   # raw mode's only augmentation path
+    else:
+        frags = {
+            "train": build_fragments(data_dir, csv_path, "train", fs_out=fs, window=window,
+                                     ecg=load_ecg, fold=fold, augment_num=aug_num,
+                                     augment_config=cfg),
+            "valid": build_fragments(data_dir, csv_path, "valid", fs_out=fs, window=window,
+                                     ecg=load_ecg, fold=fold, augment_num=valid_aug,
+                                     augment_config=cfg),
+            "test": build_fragments(data_dir, csv_path, "test", fs_out=fs, window=window,
+                                    ecg=load_ecg, fold=fold),
+        }
 
     # On-device batch augmentation fused into the jitted train step — the hook the
     # reference exposes but never wires (reference classify/trainer.py:44,67-68); mono
@@ -89,17 +120,22 @@ def run(
 
         batch_transform = partial(augment_pcg_batch, fs=fs, cfg=cfg)
 
+    frag_fs = fs_wire if raw_wire else fs
+    loader_len = window.window_len(frag_fs)
+    device_prep = _device_prep(fs_wire, fs, win_len) if raw_wire else None
+
     def branch(channel: int, label: str):
         bcfg = _branch_config(fs, random_init, encoder_config)
         model, variables = build_classifier(bcfg, jax.random.key(seed), win_len)
         valid_channel = 0 if not load_ecg else channel
-        train_ds = FragmentDataset(frags["train"], fs=fs, channel=channel)
-        valid_ds = FragmentDataset(frags["valid"], fs=fs, channel=valid_channel)
+        train_ds = FragmentDataset(frags["train"], fs=frag_fs, channel=channel)
+        valid_ds = FragmentDataset(frags["valid"], fs=frag_fs, channel=valid_channel)
         trainer = SupervisedTrainer(model, variables, optimizer_name=optimizer, lr=lr,
                                     classifier_config=bcfg, mesh=mesh, seed=seed, log_dir=log_dir,
-                                    batch_transform=None if load_ecg else batch_transform)
-        trainer.fit(make_loader(train_ds, batch_size, True, seed, win_len),
-                    make_loader(valid_ds, batch_size, False, seed, win_len),
+                                    batch_transform=None if load_ecg else batch_transform,
+                                    device_preprocess=device_prep)
+        trainer.fit(make_loader(train_ds, batch_size, True, seed, loader_len),
+                    make_loader(valid_ds, batch_size, False, seed, loader_len),
                     train_epochs, max_batches, label=label)
         return model, trainer.variables
 
@@ -122,18 +158,21 @@ def run(
     else:
         channel = 1 if mode == "ecg" else 0
         model, variables = branch(channel, f"[{mode}]")
-        test_ds = FragmentDataset(frags["test"], fs=fs,
+        test_ds = FragmentDataset(frags["test"], fs=frag_fs,
                                   channel=channel if load_ecg else 0)
         apply_fn = make_apply_fn(model, variables)
         topology = "wav2vec"
 
-    metrics = evaluate(apply_fn, make_loader(test_ds, batch_size, False, seed, win_len),
+    if device_prep is not None:
+        inner_apply = apply_fn
+        apply_fn = lambda x: inner_apply(device_prep(x))   # noqa: E731 — test set is raw too
+    metrics = evaluate(apply_fn, make_loader(test_ds, batch_size, False, seed, loader_len),
                        max_batches)
     record = {
         "mode": mode, "dataset": dataset, "fs": fs, "epochs": epochs,
         "train_epochs": train_epochs, "augment": augment, "augment_num": aug_num,
         "random_init": random_init, "reference_train_rnn": reference_train_rnn,
-        "topology": topology, "fold": fold, "run_label": run_label,
+        "topology": topology, "fold": fold, "run_label": run_label, "wire": wire,
         **metrics,
     }
     append_result(results_json, record)
