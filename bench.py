@@ -132,8 +132,12 @@ def run_bench(batch_size: int = 96, fs: int = 16000, window_s: float = 4.0,
         from wav2vec_heart_sounds_tpu.data import Fragment, FragmentDataset
 
         raw_wire = os.environ.get("W2VHS_REAL_WIRE", "raw") != "16k"
+        # One training epoch yields len(dataset)//batch_size batches, so the dataset must
+        # cover warmup + the timed window — with fewer windows the epoch ends early and
+        # the reported rate silently over-counts (this inflated the round-1 real number).
+        n_windows = batch_size * (steps + 4)
         if raw_wire:
-            host_raw = _raw_batch(batch_size * 4, fs_in, window_s)
+            host_raw = _raw_batch(n_windows, fs_in, window_s)
             host_raw /= np.max(np.abs(host_raw))   # wire contract: [-1, 1]
             frags = [Fragment(w, i % 2, f"p{i}") for i, w in enumerate(host_raw)]
             wire_len = int(round(window_s * fs_in))
@@ -146,7 +150,7 @@ def run_bench(batch_size: int = 96, fs: int = 16000, window_s: float = 4.0,
             trainer.device_preprocess = dev_prep
         else:
             host_waves = np.asarray(jax.device_get(prep(jnp.asarray(
-                _raw_batch(batch_size * 4, fs_in, window_s)))), dtype=np.float32)
+                _raw_batch(n_windows, fs_in, window_s)))), dtype=np.float32)
             frags = [Fragment(w, i % 2, f"p{i}") for i, w in enumerate(host_waves)]
             wire_len = win_len
         batcher = Batcher(FragmentDataset(frags, fs=fs if not raw_wire else fs_in),
@@ -159,8 +163,14 @@ def run_bench(batch_size: int = 96, fs: int = 16000, window_s: float = 4.0,
                              else jnp.zeros((batch_size, win_len), jnp.int16),
                              labels, valid)
         trainer._run_epoch(batcher, True, max_batches=3)        # compile + warm
+        jax.device_get(jax.tree_util.tree_leaves(trainer.state.params)[0])
         t0 = time.perf_counter()
         _, loss = trainer._run_epoch(batcher, True, max_batches=steps)
+        # Hard sync: fetch an updated parameter leaf. Scalar loss fetches alone have been
+        # observed to return before the donation chain finishes through the relay
+        # (a 20-step epoch "completed" faster than device-only time), so the timed window
+        # must end on a fetch that transitively requires every step's parameter update.
+        jax.device_get(jax.tree_util.tree_leaves(trainer.state.params)[0])
         elapsed = time.perf_counter() - t0
         value = batch_size * steps / elapsed / max(1, jax.device_count())
         baseline = None

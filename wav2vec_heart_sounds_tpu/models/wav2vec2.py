@@ -228,6 +228,7 @@ class FusedConvGelu(nn.Module):
     kernel: int
     stride: int
     out_len: int
+    use_kernel: bool = False   # planner intent: only layers whose plan reserved the halo
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -239,7 +240,7 @@ class FusedConvGelu(nn.Module):
         w = self.param("kernel", nn.initializers.lecun_normal(),
                        (self.kernel, x.shape[-1], self.features))
         x = x.astype(self.dtype)
-        if (_conv_fuse_enabled()
+        if (self.use_kernel and _conv_fuse_enabled()
                 and conv_gelu_supported(x.shape, self.kernel, self.stride, x.shape[-1],
                                         self.features, self.out_len)):
             return conv_gelu(x, w.astype(self.dtype), self.out_len)
@@ -297,8 +298,11 @@ class FeatureEncoder(nn.Module):
 
         cin = (1,) + cfg.conv_dim[:-1]
         fuse_on = _conv_fuse_enabled()
+        # r >= 4096: only the longest k=3/s=2 layer (conv_1) — XLA's conv fusions run at
+        # ~63 TF/s there but 135-160 TF/s on the shorter layers (B=96 trace), so fusing
+        # the short layers is a measured net loss while conv_1 has ~2x headroom.
         fused = [fuse_on and (k == 3 and s == 2 and ci % 128 == 0 and d % 128 == 0
-                              and r >= 1024)
+                              and r >= 4096)
                  for (d, k, s, ci, r) in zip(cfg.conv_dim, cfg.conv_kernel,
                                              cfg.conv_stride, cin,
                                              _real_lens(x.shape[1], cfg))]
@@ -317,8 +321,8 @@ class FeatureEncoder(nn.Module):
                                      valid_len=real[0], name="group_norm")(h)
                 h = nn.gelu(h, approximate=False)
             else:
-                h = FusedConvGelu(dim, k, s, padded[i], dtype=self.dtype,
-                                  name=f"conv_{i}")(h)
+                h = FusedConvGelu(dim, k, s, padded[i], use_kernel=fused[i],
+                                  dtype=self.dtype, name=f"conv_{i}")(h)
         return h
 
 

@@ -1,11 +1,14 @@
 """Fused strided-conv + exact-GELU Pallas kernel for the wav2vec2 feature encoder.
 
-STATUS: opt-in only (``W2VHS_CONVFUSE=1``), measured a net loss in the full train step —
-404.9 w/s (XLA convs) vs 377.8 w/s (fused) at B=96 on the v5e with an identical padding
-plan. The kernel wins in isolation (1.57x on the conv alone) but the ``custom_vjp``
-boundary forces ``pre``/``dpre`` HBM materialisations that XLA avoids by fusing GELU and
-its gradient into the conv kernels. Kept (with tests) as working infrastructure and as a
-negative result worth not re-learning.
+STATUS: opt-in only (``W2VHS_CONVFUSE=1``), measured a net loss in the full train step
+across TWO configurations at B=96 on the v5e: all-k3s2-layers with XLA backward
+(377.8 w/s), and conv_1-only with the fully-fused Pallas backward below (377.7 w/s),
+vs 406.1 w/s for plain XLA convs on the tile-aligned plan. The kernel wins in isolation
+(1.57x on the conv alone) and conv_1 is XLA's weakest lowering (~63 TF/s vs 135-160 on
+the shorter layers), but the ``custom_vjp`` boundary breaks XLA's surrounding fusions
+(GroupNorm backward, GELU-gradient prologues) and materialises ``pre``/``dpre`` in HBM —
+a constant ~17 ms/step penalty that outweighs any in-kernel win. Kept (with tests) as
+working infrastructure and as a negative result worth not re-learning.
 
 Why it was tried: XLA lowers the encoder's k=3 / stride-2 512-channel convolutions (reference consumes
 them through HF transformers, src/mpcg_wav2vec/classify/wav2vec.py:48) at ~15% MFU — the
@@ -63,9 +66,16 @@ def _gelu_exact(x):
 
 
 def gelu_grad(x):
-    """d/dx gelu(x) = Phi(x) + x * phi(x) (exact, float32)."""
+    """d/dx gelu(x) = Phi(x) + x * phi(x) (exact erf, float32) — for XLA-side use."""
     x = x.astype(jnp.float32)
     return 0.5 * (1.0 + jax.lax.erf(x / _SQRT2)) \
+        + x * jnp.exp(-0.5 * x * x) * _INV_SQRT_2PI
+
+
+def _gelu_grad_kernel(x):
+    """gelu'(x) with the rational erf (Mosaic has no erf primitive)."""
+    x = x.astype(jnp.float32)
+    return 0.5 * (1.0 + _erf_approx(x / _SQRT2)) \
         + x * jnp.exp(-0.5 * x * x) * _INV_SQRT_2PI
 
 
@@ -161,6 +171,8 @@ def _conv_gelu_fwd(x, w, out_len, interpret=False):
         out_specs=(pl.BlockSpec((bg, bt, cout), lambda bb, ii: (bb, ii, 0),
                                 memory_space=pltpu.VMEM),) * 2,
         out_shape=(out_shape, out_shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(x, _pad_front(x, t), w01, w2)
     return out, (x, w, pre)
@@ -172,19 +184,97 @@ def _pad_front(x, t):
     return x
 
 
-def _conv_gelu_bwd(out_len, interpret, residuals, g):
+def _bwd_kernel(xm_ref, xh_ref, pre_ref, g_ref, preh_ref, gh_ref, w01t_ref, w2t_ref,
+                dx_ref, dwp_ref, *, bt: int, cin: int):
+    """One pass over an output block: dpre in-register, dx frames, dW partial sums.
+
+    dx frame u = dpre[u] @ W01^T  (+ dpre[u-1] @ W2^T into its first C columns) — the
+    stride-2 overlap is folded into a *shifted read* of dpre (one-row halo from the
+    previous block), so dx writes never overlap. dW accumulates per batch-group into
+    ``dwp_ref`` across the (inner, sequential) time grid dimension; the caller reduces
+    the [B/bg, 3C, Co] partials — revisiting one VMEM block along the innermost
+    dimension pipelines, unlike a single globally-revisited block (measured ~2x slower).
+    """
+    bg = xm_ref.shape[0]
+    cout = pre_ref.shape[-1]
+    i = pl.program_id(1)
+
+    dpre = (g_ref[...].astype(jnp.float32) * _gelu_grad_kernel(pre_ref[...]))
+    dpre_c = dpre.astype(xm_ref.dtype)
+
+    # Previous output row's dpre (for the x[2t+2] tap): last halo row, zero at t == 0.
+    ph = gh_ref[:, 7:8, :].astype(jnp.float32) * _gelu_grad_kernel(preh_ref[:, 7:8, :])
+    ph = jnp.where(i == 0, 0.0, ph)
+    prev = jnp.concatenate([ph.astype(dpre_c.dtype), dpre_c[:, :-1, :]], axis=1)
+
+    nn_dims = (((1,), (0,)), ((), ()))
+    dxf = jax.lax.dot_general(dpre_c.reshape(bg * bt, cout), w01t_ref[...], nn_dims,
+                              preferred_element_type=jnp.float32)       # [bg*bt, 2C]
+    dx2 = jax.lax.dot_general(prev.reshape(bg * bt, cout), w2t_ref[...], nn_dims,
+                              preferred_element_type=jnp.float32)       # [bg*bt, C]
+    # static-slice concat, not .at[].add (Mosaic has no scatter-add)
+    dxf = jnp.concatenate([dxf[:, :cin] + dx2, dxf[:, cin:]], axis=1)
+    dx_ref[...] = dxf.reshape(bg, 2 * bt, cin).astype(dx_ref.dtype)
+
+    @pl.when(i == 0)
+    def _init():
+        dwp_ref[...] = jnp.zeros_like(dwp_ref)
+
+    f, f2 = _frames(xm_ref[...], xh_ref[...], bg, bt, cin)
+    tn_dims = (((0,), (0,)), ((), ()))                                  # f^T @ dpre
+    dw01 = jax.lax.dot_general(f, dpre_c.reshape(bg * bt, cout), tn_dims,
+                               preferred_element_type=jnp.float32)
+    dw2 = jax.lax.dot_general(f2, dpre_c.reshape(bg * bt, cout), tn_dims,
+                              preferred_element_type=jnp.float32)
+    dwp_ref[0] += jnp.concatenate([dw01, dw2], axis=0)                  # [3C, Co]
+
+
+def _conv_gelu_bwd(out_len, interpret, residuals, grad_out):
     x, w, pre = residuals
-    dpre = (g.astype(jnp.float32) * gelu_grad(pre)).astype(x.dtype)
+    b, t, cin = x.shape
+    cout = w.shape[-1]
+    bg, bt = _pick_block(b, out_len)
+    grid = (b // bg, out_len // bt)
+    wd = w.astype(x.dtype)
+    w01t = wd[:2].reshape(2 * cin, cout).T                # [Co, 2C]
+    w2t = wd[2].T                                          # [Co, C]
+    g = grad_out
 
-    def conv_fn(xx, ww):
-        y = jax.lax.conv_general_dilated(xx, ww.astype(xx.dtype), window_strides=(2,),
-                                         padding="VALID",
-                                         dimension_numbers=("NWC", "WIO", "NWC"))
-        return y[:, :out_len]
+    xm, xh = _specs(bg, bt, cin, grid[1])
+    oblk = lambda c: pl.BlockSpec((bg, bt, c), lambda bb, ii: (bb, ii, 0),
+                                  memory_space=pltpu.VMEM)
+    # dpre halo: the 8 rows just before this block (clamped at the start; masked in-kernel)
+    hblk = pl.BlockSpec((bg, 8, cout),
+                        lambda bb, ii: (bb, jnp.maximum(ii * (bt // 8) - 1, 0), 0),
+                        memory_space=pltpu.VMEM)
+    wspec = lambda shape: pl.BlockSpec(shape, lambda bb, ii: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    dx_main, dwp = pl.pallas_call(
+        partial(_bwd_kernel, bt=bt, cin=cin),
+        grid=grid,
+        in_specs=[xm, xh, oblk(cout), oblk(cout), hblk, hblk,
+                  wspec((cout, 2 * cin)), wspec((cout, cin))],
+        out_specs=(pl.BlockSpec((bg, 2 * bt, cin), lambda bb, ii: (bb, ii, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, 3 * cin, cout), lambda bb, ii: (bb, 0, 0),
+                                memory_space=pltpu.VMEM)),
+        out_shape=(jax.ShapeDtypeStruct((b, 2 * out_len, cin), x.dtype),
+                   jax.ShapeDtypeStruct((b // bg, 3 * cin, cout), jnp.float32)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(x, x, pre, g, pre, g, w01t, w2t)
 
-    _, vjp = jax.vjp(conv_fn, x, w)
-    dx, dw = vjp(dpre)
-    return dx, dw.astype(w.dtype)
+    # Tail: the one input row past 2*out_len read by the last frame's x[2t+2] tap.
+    dpre_last = (g[:, -1, :].astype(jnp.float32)
+                 * gelu_grad(pre[:, -1, :])).astype(x.dtype)
+    tail = (dpre_last @ w2t)[:, None, :]                   # [B, 1, C] at row 2*out_len
+    dx = jnp.concatenate(
+        [dx_main, tail.astype(x.dtype),
+         jnp.zeros((b, t - 2 * out_len - 1, cin), x.dtype)], axis=1)
+    dw = dwp.sum(axis=0).reshape(3, cin, cout).astype(w.dtype)
+    return dx, dw
 
 
 conv_gelu.defvjp(_conv_gelu_fwd, _conv_gelu_bwd)
