@@ -31,13 +31,18 @@ from .spectrogram import MelConfig
 # (the while_loop/conv/scan combination blows up compile time), while the pieces each
 # compile quickly and XLA still keeps all intermediates on device between them. Users who
 # want a single fused program can wrap the chain in their own jit (inner jits inline).
+# ``aot_jit`` additionally caches the serialized TPU executables across processes (the
+# relay toolchain bypasses jax's persistent compilation cache — utils/aot.py).
+from ..utils.aot import aot_jit as _aot_jit  # noqa: E402
+
 lowpass = _iir.lowpass
 highpass = _iir.highpass
-bandpass_cascade = jax.jit(_iir.bandpass_cascade,
-                           static_argnames=("fs", "low", "high", "order"))
-resample = jax.jit(_resample.resample, static_argnames=("fs_in", "fs_out"))
-remove_spikes = _despike.remove_spikes
-abs_max_normalise = jax.jit(_norm.abs_max_normalise)
+bandpass_cascade = _aot_jit(_iir.bandpass_cascade,
+                            static_argnames=("fs", "low", "high", "order"))
+resample = _aot_jit(_resample.resample, static_argnames=("fs_in", "fs_out"))
+remove_spikes = _aot_jit(_despike.remove_spikes.__wrapped__,
+                         static_argnames=("fs", "threshold", "max_iterations"))
+abs_max_normalise = _aot_jit(_norm.abs_max_normalise)
 minmax_normalise = _norm.minmax_normalise
 z_normalise = _norm.z_normalise
 kpeak_normalise = _norm.kpeak_normalise

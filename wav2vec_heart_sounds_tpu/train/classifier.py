@@ -113,6 +113,8 @@ class SupervisedTrainer:
         self._train_step = cached_compile(
             self._train_step, self.state.params, self.state.loss_params,
             self.state.opt_state, x, y, valid, lr, jax.random.key(0))
+        self._eval_step = cached_compile(
+            self._eval_step, self.state.params, self.state.loss_params, x, y, valid)
 
     # --- jitted steps -------------------------------------------------------
 

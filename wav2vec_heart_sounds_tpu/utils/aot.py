@@ -70,6 +70,43 @@ def _key(lowered, backend: str, device_kind: str) -> str:
     return h.hexdigest()[:32]
 
 
+def aot_jit(fn: Callable, static_argnames=()) -> Callable:
+    """``jax.jit`` with transparent AOT executable caching per call signature.
+
+    On TPU (where remote compiles cost minutes and the persistent HLO cache is bypassed)
+    the first call per (shapes, dtypes, statics) signature compiles through
+    :func:`cached_compile` — statics are closed over so the serialized executable has a
+    plain array-only calling convention — and later processes reload the binary. On CPU
+    (the test backend) it degrades to plain ``jax.jit``. ``W2VHS_AOT=0`` disables it.
+    """
+    import inspect
+
+    import jax
+
+    jitted = jax.jit(fn, static_argnames=static_argnames)
+    statics = set(static_argnames)
+    sig = inspect.signature(fn)
+    compiled: dict = {}
+
+    def call(*args, **kwargs):
+        if os.environ.get("W2VHS_AOT") == "0" or jax.default_backend() == "cpu":
+            return jitted(*args, **kwargs)
+        bound = sig.bind(*args, **kwargs)
+        sta = {k: v for k, v in bound.arguments.items() if k in statics}
+        arr = {k: v for k, v in bound.arguments.items() if k not in statics}
+        key = (tuple(sorted(sta.items())),
+               tuple((k, tuple(v.shape), str(v.dtype)) if hasattr(v, "shape")
+                     else (k, repr(v)) for k, v in sorted(arr.items())))
+        entry = compiled.get(key)
+        if entry is None:
+            closed = jax.jit(lambda **arrs: fn(**arrs, **sta))
+            entry = compiled[key] = cached_compile(closed, **arr)
+        return entry(**arr)
+
+    call.__wrapped__ = jitted
+    return call
+
+
 def cached_compile(jitted: Callable, *args: Any, cache_dir: Path | None = None,
                    verbose: bool = False, **kwargs: Any) -> Callable:
     """Compile ``jitted`` (a ``jax.jit`` wrapped function) for ``args``, reusing a
