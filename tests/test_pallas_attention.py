@@ -86,3 +86,28 @@ def test_dropout_bwd_uses_same_mask():
     f = lambda vv: float(jnp.sum(flash_attention(q, k, vv, seed, rate, None, True)))
     fd = (f(v_plus) - f(v_minus)) / (2 * eps)
     np.testing.assert_allclose(float(dv[0, 0, 5, 3]), fd, rtol=5e-2, atol=1e-3)
+
+
+def test_bthd_layout_matches_bhtd():
+    q, k, v = _qkv(t=56)
+    to_bthd = lambda x: jnp.swapaxes(x, 1, 2)
+    a = flash_attention(q, k, v, SEED, 0.0, None, True)
+    b = flash_attention(to_bthd(q), to_bthd(k), to_bthd(v), SEED, 0.0, None, True, "bthd")
+    np.testing.assert_allclose(np.asarray(to_bthd(b)), np.asarray(a), atol=2e-5)
+
+
+def test_bthd_vjp_matches_autodiff():
+    q, k, v = _qkv(t=40, seed=4)
+    to_bthd = lambda x: jnp.swapaxes(x, 1, 2)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(to_bthd(q), to_bthd(k), to_bthd(v),
+                                               SEED, 0.0, None, True, "bthd")))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(to_bthd(reference_attention(q, k, v))))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5, rtol=1e-4)

@@ -1,0 +1,50 @@
+"""Fused dense+GELU+dropout op vs the XLA reference: forward, VJP, bias grad."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from wav2vec_heart_sounds_tpu.ops.pallas.ffn import (
+    dense_gelu_dropout,
+    reference_dense_gelu_dropout,
+)
+
+SEED = jnp.asarray(0, jnp.int32)
+
+
+def _case(n=48, cin=32, cout=64, seed=0):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(n, cin)).astype(np.float32))
+    w = jnp.asarray((rng.normal(size=(cin, cout)) * 0.1).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32) * 0.1)
+    return x, w, b
+
+
+def test_forward_matches_reference_no_dropout():
+    x, w, b = _case()
+    out = dense_gelu_dropout(x, w, b, SEED, 0.0, True)
+    ref = reference_dense_gelu_dropout(x, w, b, None, 0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
+
+
+def test_vjp_matches_autodiff_incl_bias():
+    x, w, b = _case(seed=1)
+
+    def loss_fused(x, w, b):
+        return jnp.sum(jnp.sin(dense_gelu_dropout(x, w, b, SEED, 0.0, True)))
+
+    def loss_ref(x, w, b):
+        return jnp.sum(jnp.sin(reference_dense_gelu_dropout(x, w, b, None, 0.0)))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    for a, r in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=2e-5, rtol=1e-4)
+
+
+def test_uneven_row_blocks():
+    # n not a multiple of the 8-row block granularity exercises the masked tail block
+    x, w, b = _case(n=43, seed=2)
+    out = dense_gelu_dropout(x, w, b, SEED, 0.0, True)
+    ref = reference_dense_gelu_dropout(x, w, b, None, 0.0)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)

@@ -8,6 +8,7 @@ cache when available (LoRA adapters and heads keep their fresh init).
 
 from __future__ import annotations
 
+import os
 from dataclasses import replace
 
 import jax
@@ -70,7 +71,15 @@ def build_classifier(cfg: ClassifierConfig, key: jax.Array, input_len: int,
 
     model = Wav2VecClassifier(cfg, dtype=dtype)
     shape = (1, input_len) if cfg.num_channels == 1 else (1, input_len, cfg.num_channels)
-    variables = model.init(key, jnp.zeros(shape, jnp.float32))
+    x0 = jnp.zeros(shape, jnp.float32)
+    if jax.default_backend() != "cpu" and os.environ.get("W2VHS_AOT") != "0":
+        # Param init is a ~2 min remote compile per fresh process on the relay; reuse the
+        # serialized executable like the train/eval steps (utils/aot.py).
+        from ..utils.aot import cached_compile
+
+        variables = cached_compile(jax.jit(model.init), key, x0)(key, x0)
+    else:
+        variables = model.init(key, x0)
     if enc_params is not None:
         params = dict(variables["params"])
         params["encoder"] = _merge(params["encoder"], enc_params)

@@ -171,6 +171,69 @@ def conv_time_plan(t: int, kernels, strides, align: int, fused=None):
     return pad_input, padded, real
 
 
+class FusedDenseGeluDropout(nn.Module):
+    """``dropout(gelu(Dense(x)))`` with the fused Pallas activation pass on TPU training.
+
+    Keeps the forward matmul's epilogue free of transcendental work (the erf-GELU epilogue
+    XLA otherwise fuses into the dot measured it at ~86 TF/s vs 162-190 for the clean
+    backward dots) and folds the dropout mask, GELU gradient and the bias-grad column sums
+    into one backward pass (ops/pallas/ffn.py). Param names/shapes match ``nn.Dense``
+    ("kernel"/"bias") so init and checkpoints are unchanged; eval/CPU paths use the plain
+    Dense + exact GELU + dropout composition.
+    """
+    features: int
+    rate: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        import os
+
+        cin = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(), (cin, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        x = x.astype(self.dtype)
+        if (not deterministic and self.rate > 0.0 and jax.default_backend() != "cpu"
+                and os.environ.get("W2VHS_NO_FLASH") != "1"
+                and os.environ.get("W2VHS_NO_FFNFUSE") != "1"):
+            from ..ops.pallas.ffn import dense_gelu_dropout
+
+            seed = jax.random.randint(self.make_rng("dropout"), (), 0,
+                                      jnp.iinfo(jnp.int32).max)
+            lead = x.shape[:-1]
+            y = dense_gelu_dropout(x.reshape(-1, cin), w, b, seed, self.rate)
+            return y.reshape(*lead, self.features)
+        h = jnp.dot(x, w.astype(self.dtype)) + b.astype(self.dtype)
+        h = nn.gelu(h, approximate=False)
+        return _dropout(self, h, self.rate, deterministic)
+
+
+class FastLayerNorm(nn.Module):
+    """LayerNorm with float32 statistics but compute-dtype input/output tensors.
+
+    ``nn.LayerNorm(dtype=float32)`` on a bf16 stream materialises float32 activations and
+    standalone convert ops around every norm (profiled ~10 ms/step across the 12 encoder
+    layers at B=96). Computing the stats in f32 *inline* and emitting the compute dtype
+    keeps every materialised tensor bf16 while preserving flax's exact statistics formula
+    (mean-of-squares minus squared-mean), so f32-mode parity tests are unchanged.
+    Param names/shapes match ``nn.LayerNorm`` ("scale"/"bias", [D]) for checkpoint port.
+    """
+    epsilon: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.maximum(jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+                          - jnp.square(mean), 0.0)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (y * scale + bias).astype(self.dtype)
+
+
 class PhaseConv(nn.Module):
     """Strided VALID 1-D conv as phase-split MXU matmuls.
 
@@ -340,8 +403,8 @@ class FeatureProjection(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        x = nn.LayerNorm(epsilon=self.config.layer_norm_eps, dtype=jnp.float32,
-                         name="layer_norm")(x)
+        x = FastLayerNorm(epsilon=self.config.layer_norm_eps, dtype=self.dtype,
+                          name="layer_norm")(x)
         x = nn.Dense(self.config.hidden_size, dtype=self.dtype,
                      name="projection")(x.astype(self.dtype))
         return _dropout(self, x, self.config.feat_proj_dropout, deterministic)
@@ -431,10 +494,18 @@ class SelfAttention(nn.Module):
             if rate > 0.0:
                 seed = jax.random.randint(self.make_rng("dropout"), (), 0,
                                           jnp.iinfo(jnp.int32).max)
-            to_heads = lambda x: jnp.swapaxes(x, 1, 2)        # [B, H, T, hd]
-            out = flash_attention(to_heads(q), to_heads(k), to_heads(v), seed, rate,
-                                  t_eff)
-            out = jnp.swapaxes(out, 1, 2).astype(self.dtype)
+            if os.environ.get("W2VHS_ATTN_LAYOUT") == "bthd":
+                # Transpose-free variant: the kernel swaps head/time axes in VMEM. On
+                # hardware this measured SLOWER than paying the XLA transposes (in-kernel
+                # relayouts of all-heads blocks cost more than the ~9 ms they save), so
+                # the default stays bhtd; kept as a gated experiment.
+                out = flash_attention(q, k, v, seed, rate, t_eff,
+                                      False, "bthd").astype(self.dtype)
+            else:
+                to_heads = lambda x: jnp.swapaxes(x, 1, 2)    # [B, H, T, hd]
+                out = flash_attention(to_heads(q), to_heads(k), to_heads(v), seed, rate,
+                                      t_eff)
+                out = jnp.swapaxes(out, 1, 2).astype(self.dtype)
         else:
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                                 preferred_element_type=jnp.float32) \
@@ -461,16 +532,15 @@ class EncoderLayer(nn.Module):
         attn = SelfAttention(cfg, dtype=self.dtype, valid_len=self.valid_len,
                              name="attention")(x, deterministic)
         attn = _dropout(self, attn, cfg.hidden_dropout, deterministic)
-        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
-                         name="layer_norm")(x + attn)
-        h = nn.Dense(cfg.intermediate_size, dtype=self.dtype,
-                     name="intermediate_dense")(x.astype(self.dtype))
-        h = nn.gelu(h, approximate=False)
-        h = _dropout(self, h, cfg.activation_dropout, deterministic)
+        x = FastLayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                          name="layer_norm")(x + attn)
+        h = FusedDenseGeluDropout(cfg.intermediate_size, cfg.activation_dropout,
+                                  dtype=self.dtype,
+                                  name="intermediate_dense")(x, deterministic)
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(h)
         h = _dropout(self, h, cfg.hidden_dropout, deterministic)
-        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
-                            name="final_layer_norm")(x + h)
+        return FastLayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                             name="final_layer_norm")(x + h)
 
 
 class Wav2Vec2Model(nn.Module):
@@ -506,7 +576,8 @@ class Wav2Vec2Model(nn.Module):
             h = jnp.where(frame < real_len, h, jnp.zeros((), h.dtype))
         pos = PositionalConvEmbedding(cfg, dtype=self.dtype, name="pos_conv_embed")(h)
         h = h + pos
-        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32, name="layer_norm")(h)
+        h = FastLayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
+                          name="layer_norm")(h)
         h = _dropout(self, h, cfg.hidden_dropout, not train)
         layer_cls = nn.remat(EncoderLayer, static_argnums=(2,)) if cfg.remat else EncoderLayer
         vl = real_len if padded else 0
