@@ -60,7 +60,10 @@ def _bwd_kernel(seed_ref, g_ref, pre_ref, dpre_ref, dbp_ref, *, rate: float):
         g = jnp.where(_keep(g.shape, rate), g / (1.0 - rate), 0.0)
     dpre = g * _gelu_grad_kernel(pre_ref[...])
     dpre_ref[...] = dpre.astype(dpre_ref.dtype)
-    dbp_ref[...] = jnp.sum(dpre, axis=0, keepdims=True)
+    # partial bias grad, broadcast over the 8-row block (Pallas requires 8-sublane
+    # output blocks; the caller reads row 0 of each partial)
+    dbp_ref[...] = jnp.broadcast_to(jnp.sum(dpre, axis=0, keepdims=True),
+                                    dbp_ref.shape)
 
 
 def _row_specs(rows, c):
@@ -111,14 +114,14 @@ def _bwd(rate, interpret, residuals, g):
             grid=(grid,),
             in_specs=[_row_specs(rows, c)] * 2,
             out_specs=(_row_specs(rows, c),
-                       pl.BlockSpec((1, c), lambda i, *_: (i, 0),
+                       pl.BlockSpec((1, 8, c), lambda i, *_: (i, 0, 0),
                                     memory_space=pltpu.VMEM)),
         ),
         out_shape=(jax.ShapeDtypeStruct((n, c), x.dtype),
-                   jax.ShapeDtypeStruct((grid, c), jnp.float32)),
+                   jax.ShapeDtypeStruct((grid, 8, c), jnp.float32)),
         interpret=interpret,
     )(seed_arr, g, pre)
-    db = dbp.sum(axis=0).astype(w.dtype)
+    db = dbp[:, 0, :].sum(axis=0).astype(w.dtype)
     dx = jnp.dot(dpre, w.astype(dpre.dtype).T)
     dw = jnp.dot(x.T, dpre).astype(w.dtype)
     return dx, dw, db, jnp.zeros_like(seed)
