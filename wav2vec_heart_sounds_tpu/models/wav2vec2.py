@@ -324,7 +324,14 @@ class FusedConvGelu(nn.Module):
                 part = seg @ wg.astype(self.dtype)
                 y = part if y is None else y + part
             return nn.gelu(y, approximate=False)
-        y = jax.lax.conv_general_dilated(x, w.astype(self.dtype),
+        wk = w.astype(self.dtype)
+        if (self.kernel == 3 and self.stride == 2
+                and os.environ.get("W2VHS_CONV_K4") == "1"):
+            # Experiment (opt-in, measured 477 vs 493 w/s — a net loss): zero-pad the
+            # kernel to k=4 hoping even kernels hit the k=2 layers' faster lowering;
+            # XLA's k=4 path was not faster here. Numerically identical (zero tap).
+            wk = jnp.pad(wk, ((0, 1), (0, 0), (0, 0)))
+        y = jax.lax.conv_general_dilated(x, wk,
                                          window_strides=(self.stride,), padding="VALID",
                                          dimension_numbers=("NWC", "WIO", "NWC"))
         return nn.gelu(y[:, :self.out_len], approximate=False)
