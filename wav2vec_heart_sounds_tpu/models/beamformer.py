@@ -20,6 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .wav2vec2 import FastLayerNorm
+
 
 class DelayPredictor(nn.Module):
     """[B, M, T] -> per-sample per-mic delays [B, M, T] via a small transformer."""
@@ -39,11 +41,11 @@ class DelayPredictor(nn.Module):
             attn = nn.MultiHeadDotProductAttention(
                 num_heads=self.num_heads, dtype=self.dtype,
                 name=f"attn_{i}")(h, h, deterministic=deterministic)
-            h = nn.LayerNorm(dtype=jnp.float32, name=f"norm1_{i}")(h + attn)
+            h = FastLayerNorm(dtype=self.dtype, name=f"norm1_{i}")(h + attn)
             f = nn.Dense(self.ffn, dtype=self.dtype, name=f"ff1_{i}")(h.astype(self.dtype))
             f = nn.relu(f)
             f = nn.Dense(self.d_model, dtype=self.dtype, name=f"ff2_{i}")(f)
-            h = nn.LayerNorm(dtype=jnp.float32, name=f"norm2_{i}")(h + f)
+            h = FastLayerNorm(dtype=self.dtype, name=f"norm2_{i}")(h + f)
         out = nn.Dense(self.num_mics, dtype=self.dtype, name="output_proj")(h.astype(self.dtype))
         return jnp.swapaxes(out, 1, 2)                                # [B, M, T]
 

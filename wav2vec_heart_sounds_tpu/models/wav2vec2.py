@@ -331,10 +331,27 @@ class FusedConvGelu(nn.Module):
             # kernel to k=4 hoping even kernels hit the k=2 layers' faster lowering;
             # XLA's k=4 path was not faster here. Numerically identical (zero tap).
             wk = jnp.pad(wk, ((0, 1), (0, 0), (0, 0)))
-        y = jax.lax.conv_general_dilated(x, wk,
-                                         window_strides=(self.stride,), padding="VALID",
-                                         dimension_numbers=("NWC", "WIO", "NWC"))
-        return nn.gelu(y[:, :self.out_len], approximate=False)
+
+        def conv(xc, o):
+            y = jax.lax.conv_general_dilated(xc, wk, window_strides=(self.stride,),
+                                             padding="VALID",
+                                             dimension_numbers=("NWC", "WIO", "NWC"))
+            return nn.gelu(y[:, :o], approximate=False)
+
+        if (self.kernel == 3 and self.stride == 2 and self.out_len >= 4096
+                and self.out_len % 2 == 0
+                and os.environ.get("W2VHS_CONV_SPLIT") != "0"):
+            # Halve the time axis into two conv_2-geometry convolutions: XLA lowers the
+            # [B,~6k,512] shape at 135-160 TF/s but the [B,~13k,512] conv_1 shape at only
+            # 63-81 TF/s — and autodiff splits the backward the same way. Measured
+            # 493.1 -> 516.5 w/s at B=96. The input slices fuse into the conv reads;
+            # one output concat. Seam: right frame j reads rows 2*O1+2j .. 2*O1+2j+2.
+            o1 = self.out_len // 2
+            o2 = self.out_len - o1
+            left = conv(x[:, :2 * o1 + 2], o1)
+            right = conv(x[:, 2 * o1:2 * o1 + 2 * o2 + 2], o2)
+            return jnp.concatenate([left, right], axis=1)
+        return conv(x, self.out_len)
 
 
 class FeatureEncoder(nn.Module):
