@@ -7,6 +7,7 @@ runtime cannot cache or reorder steps; the final loss is fetched to force comple
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -44,6 +45,8 @@ def sweep(batch: int, remat: bool, steps: int = 30):
     valid = jnp.ones((batch,), jnp.float32)
     lr = jnp.asarray(1e-3, jnp.float32)
 
+    if os.environ.get("W2VHS_AOT") != "0":
+        trainer.aot_warm(waves, labels, valid)
     state = trainer.state
     key = jax.random.key(1)
 
