@@ -49,12 +49,28 @@ def _canonical_text(text: str) -> str:
 
 def _kernel_source_digest() -> bytes:
     """Digest of the in-repo Pallas kernel sources — the part of the program that the
-    payload-stripped StableHLO no longer pins."""
+    payload-stripped StableHLO no longer pins.
+
+    Hashes the AST with docstrings removed, so comment/doc edits don't invalidate every
+    cached executable (only code changes do)."""
+    import ast
+
     h = hashlib.sha256()
     pallas_dir = Path(__file__).resolve().parents[1] / "ops" / "pallas"
     for p in sorted(pallas_dir.glob("*.py")):
         h.update(p.name.encode())
-        h.update(p.read_bytes())
+        try:
+            tree = ast.parse(p.read_text())
+            for node in ast.walk(tree):
+                body = getattr(node, "body", None)
+                if (isinstance(body, list) and body
+                        and isinstance(body[0], ast.Expr)
+                        and isinstance(body[0].value, ast.Constant)
+                        and isinstance(body[0].value.value, str)):
+                    body[0] = ast.Pass()
+            h.update(ast.dump(tree).encode())
+        except SyntaxError:
+            h.update(p.read_bytes())
     return h.digest()
 
 
