@@ -61,3 +61,19 @@ def test_aot_jit_passthrough_and_statics():
     np.testing.assert_allclose(np.asarray(g(x, 3)), np.asarray(x) * 3)  # positional static
     # CPU backend: plain jit passthrough retraces per static value, result correctness only
     assert g.__wrapped__ is not None
+
+
+def test_prune_lru(tmp_path, monkeypatch):
+    from wav2vec_heart_sounds_tpu.utils.aot import _prune
+    import os as _os
+    import time as _time
+
+    monkeypatch.setenv("W2VHS_AOT_LIMIT_GB", str(3 / (1 << 30)))  # 3-byte cap
+    old = tmp_path / "old.pjrt"
+    new = tmp_path / "new.pjrt"
+    old.write_bytes(b"xx")
+    _time.sleep(0.01)
+    new.write_bytes(b"yy")
+    _os.utime(old, (0, 0))                 # force old mtime
+    _prune(tmp_path, keep=new)
+    assert not old.exists() and new.exists()

@@ -152,6 +152,7 @@ def cached_compile(jitted: Callable, *args: Any, cache_dir: Path | None = None,
             payload = pickle.loads(path.read_bytes())
             loaded = se.deserialize_and_load(*payload) if isinstance(payload, tuple) \
                 else se.deserialize_and_load(payload)
+            os.utime(path)   # LRU touch for _prune
             if verbose:
                 print(f"[aot] loaded {path.name}")
             # Self-healing: a blob can deserialize yet fail at execution (e.g. XLA:CPU
@@ -185,9 +186,26 @@ def cached_compile(jitted: Callable, *args: Any, cache_dir: Path | None = None,
         tmp = path.with_suffix(".tmp")
         tmp.write_bytes(blob)
         os.replace(tmp, path)
+        _prune(cdir, keep=path)
         if verbose:
             print(f"[aot] saved {path.name} ({len(blob) >> 20} MiB)")
     except Exception as exc:
         if verbose:
             print(f"[aot] serialize unsupported ({type(exc).__name__}); in-memory only")
     return compiled
+
+
+def _prune(cdir: Path, keep: Path | None = None) -> None:
+    """LRU-bound the cache (experiment variants accumulate ~100 MB train-step blobs fast;
+    an unbounded cache measured 7.4 GB after one optimization session). Loads bump mtime,
+    so eviction order is least-recently-used. Cap via W2VHS_AOT_LIMIT_GB (default 4)."""
+    limit = float(os.environ.get("W2VHS_AOT_LIMIT_GB", "4")) * (1 << 30)
+    entries = sorted(cdir.glob("*.pjrt"), key=lambda p: p.stat().st_mtime)
+    total = sum(p.stat().st_size for p in entries)
+    for p in entries:
+        if total <= limit:
+            break
+        if keep is not None and p.samefile(keep):
+            continue
+        total -= p.stat().st_size
+        p.unlink(missing_ok=True)
