@@ -406,3 +406,18 @@ def test_subsample_patients_keeps_aug_copies_with_base():
     # every kept patient keeps both its base window and its augmented copy
     assert len(kept) == 4
     assert subsample_patients(frags, 1.0) is frags
+
+
+def test_schedule_combined_of_combined_flattens_all_sources():
+    """A combined set whose base is itself combined keeps every underlying source
+    (reading only sources[0] used to silently drop the rest), with nested weights
+    multiplying and plain-base weights replacing the base's own proportion."""
+    raw = _schedule_dict()
+    raw["combined_datasets"]["trio"] = {"base_sets": ["both", "gen"],
+                                        "proportion": [0.5, 1.0]}
+    raw["schedule"].append({"key": "trio", "epochs": 1})
+    sched = D.schedule.from_dict(raw)
+    trio = sched.datasets["trio"]
+    assert [s.path for s in trio.sources] == ["d/real", "d/gen", "d/gen"]
+    # 'both' contributes (real@1.0, gen@0.5) scaled by 0.5; plain 'gen' replaced by 1.0
+    assert [s.proportion for s in trio.sources] == [0.5, 0.25, 1.0]

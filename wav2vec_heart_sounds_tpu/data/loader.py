@@ -123,25 +123,42 @@ def prefetch_threaded(iterator: Iterable, transform=None, depth: int = 2) -> Ite
 
     q: "queue_mod.Queue" = queue_mod.Queue(maxsize=depth)
     stop = object()
+    cancelled = threading.Event()
     failure: list[BaseException] = []
+
+    def put(item) -> bool:
+        # Bounded put that aborts when the consumer abandoned the generator (e.g. a
+        # max_batches break) — otherwise the worker blocks forever on the full queue,
+        # leaking the thread and ~depth device-resident batches per abandoned epoch.
+        while not cancelled.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(transform(item) if transform is not None else item)
+                if not put(transform(item) if transform is not None else item):
+                    return
         except BaseException as exc:   # noqa: BLE001 — re-raised at the consumer
             failure.append(exc)
         finally:
-            q.put(stop)
+            put(stop)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is stop:
-            if failure:
-                raise failure[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is stop:
+                if failure:
+                    raise failure[0]
+                return
+            yield item
+    finally:
+        cancelled.set()
 
 
 def prefetch_to_device(iterator: Iterable[dict], size: int = 2) -> Iterator[dict]:

@@ -142,11 +142,15 @@ def _combined(name: str, raw: dict, datasets: dict[str, DatasetSpec]) -> Dataset
                 f"combined dataset '{name}' references unknown base set '{base_name}'")
         bases.append(datasets[base_name])
     proportions = [_fraction(p, f"combined_datasets.{name}") for p in raw["proportion"]]
+    # Flatten EVERY source of each base (a base may itself be a combined set) — reading
+    # only sources[0] silently dropped the rest of a combined base's data. For a plain
+    # base the combined weight REPLACES the base's own proportion (the schedule-JSON
+    # contract); for a combined base the nested weights scale multiplicatively.
     sources = tuple(
-        SourceSpec(path=b.sources[0].path, split=b.sources[0].split,
-                   segment=b.sources[0].segment, gen_data=b.sources[0].gen_data,
-                   proportion=p)
-        for b, p in zip(bases, proportions))
+        SourceSpec(path=s.path, split=s.split, segment=s.segment, gen_data=s.gen_data,
+                   proportion=(p * s.proportion) if b.base_sets else p)
+        for b, p in zip(bases, proportions)
+        for s in b.sources)
     default_augment = min(b.augment_num for b in bases)
     return DatasetSpec(
         name=name, sources=sources,

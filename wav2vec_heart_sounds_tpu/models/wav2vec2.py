@@ -234,48 +234,12 @@ class FastLayerNorm(nn.Module):
         return (y * scale + bias).astype(self.dtype)
 
 
-class PhaseConv(nn.Module):
-    """Strided VALID 1-D conv as phase-split MXU matmuls.
-
-    ``y[:, t] = sum_j x[:, s*t+j] @ W[j]``: the input is viewed as non-overlapping frames of
-    ``s`` samples (``[B, T/s, s*C]``), and the kernel splits into ``ceil(k/s)`` frame-groups,
-    each a plain matmul over a shifted frame slice — pure MXU work instead of the XLA conv
-    lowering that profiled at ~15% MFU on the [B, 12799, 512] activations. Param name/shape
-    (``kernel`` [k, in, out]) matches nn.Conv so HF ports and old checkpoints are unchanged.
-
-    The caller guarantees ``x.shape[1]`` is a multiple of ``stride`` and holds at least
-    ``out_len + ceil(k/s) - 1`` frames (see :func:`conv_time_plan`).
-    """
-    features: int
-    kernel: int
-    stride: int
-    out_len: int
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        k, s, out_len = self.kernel, self.stride, self.out_len
-        b, t, cin = x.shape
-        w = self.param("kernel", nn.initializers.lecun_normal(), (k, cin, self.features))
-        f = x.reshape(b, t // s, s * cin)
-        y = None
-        for g in range(-(-k // s)):
-            kk = min(s, k - g * s)
-            wg = w[g * s:g * s + kk].reshape(kk * cin, self.features).astype(self.dtype)
-            seg = jax.lax.slice(f, (0, g, 0), (b, g + out_len, kk * cin))
-            part = seg.astype(self.dtype) @ wg
-            y = part if y is None else y + part
-        return y
-
-
 def _conv_fuse_enabled() -> bool:
     """Opt-in gate for the Pallas conv+GELU kernel (``W2VHS_CONVFUSE=1``).
 
-    Off by default: the measured A/B at B=96 on the v5e is 404.9 w/s for XLA convs vs
-    377.8 w/s fused — XLA fuses the GELU (and its backward) into the conv kernels'
-    epilogues, while the custom-vjp kernel must materialise ``pre``/``dpre`` activations
-    in HBM, and XLA's conv-grad lowerings beat a Pallas dW accumulator ~2x. The kernel
-    wins in isolation (1.57x on the conv alone) but loses the fusion context."""
+    Off by default: measured a net loss in-model in two configurations (see
+    ops/pallas/conv.py STATUS) — XLA fuses the GELU and its backward into the conv
+    kernels while the custom-vjp boundary forces extra HBM materialisations."""
     import os
 
     return (os.environ.get("W2VHS_CONVFUSE") == "1"

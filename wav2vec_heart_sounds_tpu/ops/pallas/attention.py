@@ -123,12 +123,6 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
 
-def _specs(n: int, hb: int, tp: int, d: int):
-    # index_map receives (grid indices..., scalar-prefetch refs...); swallow the scalar ref.
-    return [pl.BlockSpec((1, hb, tp, d), lambda b, hh, *_: (b, hh, 0, 0),
-                         memory_space=pltpu.VMEM) for _ in range(n)]
-
-
 @partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, seed: jnp.ndarray,
                     dropout_rate: float = 0.0, t: int | None = None,

@@ -143,7 +143,7 @@ def conv_gelu(x: jnp.ndarray, w: jnp.ndarray, out_len: int,
     return _conv_gelu_fwd(x, w, out_len, interpret)[0]
 
 
-def _specs(bg, bt, cin, n_steps_t):
+def _specs(bg, bt, cin):
     xm = pl.BlockSpec((bg, 2 * bt, cin), lambda b, i: (b, i, 0),
                       memory_space=pltpu.VMEM)
     # halo: the 8 rows right after this block's 2*bt rows, expressed in 8-row block units
@@ -160,7 +160,7 @@ def _conv_gelu_fwd(x, w, out_len, interpret=False):
     w = w.astype(x.dtype)
     w01 = w[:2].reshape(2 * cin, cout)
     w2 = w[2]
-    xm, xh = _specs(bg, bt, cin, grid[1])
+    xm, xh = _specs(bg, bt, cin)
     wspec = lambda shape: pl.BlockSpec(shape, lambda bb, ii: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((b, out_len, cout), x.dtype)
@@ -240,7 +240,7 @@ def _conv_gelu_bwd(out_len, interpret, residuals, grad_out):
     w2t = wd[2].T                                          # [Co, C]
     g = grad_out
 
-    xm, xh = _specs(bg, bt, cin, grid[1])
+    xm, xh = _specs(bg, bt, cin)
     oblk = lambda c: pl.BlockSpec((bg, bt, c), lambda bb, ii: (bb, ii, 0),
                                   memory_space=pltpu.VMEM)
     # dpre halo: the 8 rows just before this block (clamped at the start; masked in-kernel)

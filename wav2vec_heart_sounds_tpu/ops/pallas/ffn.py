@@ -56,7 +56,7 @@ def _fwd_kernel(seed_ref, pre_ref, y_ref, *, rate: float):
     y_ref[...] = h.astype(y_ref.dtype)
 
 
-def _bwd_kernel(seed_ref, g_ref, pre_ref, dpre_ref, dbp_ref, *, rate: float):
+def _bwd_kernel(seed_ref, g_ref, pre_ref, dpre_ref, dbp_ref, *, rate: float, n: int):
     if rate > 0.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     g = g_ref[...].astype(jnp.float32)
@@ -64,8 +64,13 @@ def _bwd_kernel(seed_ref, g_ref, pre_ref, dpre_ref, dbp_ref, *, rate: float):
         g = jnp.where(_keep(g.shape, rate), g / (1.0 - rate), 0.0)
     dpre = g * _gelu_grad_kernel(pre_ref[...])
     dpre_ref[...] = dpre.astype(dpre_ref.dtype)
-    # partial bias grad, broadcast over the 8-row block (Pallas requires 8-sublane
-    # output blocks; the caller reads row 0 of each partial)
+    # Partial bias grad. Mask rows past n: the final block's tail rows read undefined
+    # padding (OOB *writes* are dropped by Pallas, but this *reduction* would sum them).
+    rows = dpre.shape[0]
+    rid = pl.program_id(0) * rows + jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)
+    dpre = jnp.where(rid < n, dpre, 0.0)
+    # broadcast over the 8-row block (Pallas requires 8-sublane output blocks; the
+    # caller reads row 0 of each partial)
     dbp_ref[...] = jnp.broadcast_to(jnp.sum(dpre, axis=0, keepdims=True),
                                     dbp_ref.shape)
 
@@ -113,7 +118,7 @@ def _bwd(rate, interpret, residuals, g):
     grid = -(-n // rows)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     dpre, dbp = pl.pallas_call(
-        partial(_bwd_kernel, rate=rate),
+        partial(_bwd_kernel, rate=rate, n=n),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),

@@ -38,13 +38,22 @@ def _canonical_text(text: str) -> str:
     (two lowerings of the same program in one process differ inside every
     ``tpu_custom_call`` backend_config), which would defeat content-addressed caching.
     Kernel *bodies* are covered by :func:`_kernel_source_digest` instead; call-site
-    shapes/grids stay in the surrounding StableHLO."""
+    shapes/grids stay in the surrounding StableHLO.
+
+    The stripping is scoped to long base64 runs *inside backend_config strings* — a bare
+    long-alphanumeric regex would also erase large dense constants (hex-printed arrays),
+    making two genuinely different programs collide on one cache key."""
     global _PAYLOAD_RE
     if _PAYLOAD_RE is None:
         import re
 
-        _PAYLOAD_RE = re.compile(r"[A-Za-z0-9+/]{100,}={0,2}")
-    return _PAYLOAD_RE.sub("<payload>", text)
+        _PAYLOAD_RE = (
+            re.compile(r'backend_config\s*=\s*"(?:[^"\\]|\\.)*"'),
+            re.compile(r"[A-Za-z0-9+/]{100,}={0,2}"),
+        )
+    cfg_re, b64_re = _PAYLOAD_RE
+    return cfg_re.sub(
+        lambda m: b64_re.sub("<payload>", m.group(0)), text)
 
 
 def _kernel_source_digest() -> bytes:
@@ -183,7 +192,7 @@ def cached_compile(jitted: Callable, *args: Any, cache_dir: Path | None = None,
 
         blob = pickle.dumps(se.serialize(compiled))
         cdir.mkdir(parents=True, exist_ok=True)
-        tmp = path.with_suffix(".tmp")
+        tmp = path.with_suffix(f".tmp{os.getpid()}")   # per-process: concurrent writers
         tmp.write_bytes(blob)
         os.replace(tmp, path)
         _prune(cdir, keep=path)
