@@ -16,6 +16,7 @@ driven by the host batcher. TPU specifics:
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass
 from functools import partial
@@ -97,6 +98,7 @@ class SupervisedTrainer:
         )
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1, 2))
         self._eval_step = jax.jit(self._eval_step_impl)
+        self._aot_warmed = False
 
     def aot_warm(self, x, y, valid) -> None:
         """Swap the jitted train step for an AOT-cached executable (``utils.aot``).
@@ -110,6 +112,7 @@ class SupervisedTrainer:
         from ..utils.aot import cached_compile
 
         lr = jnp.asarray(self.schedule(self.state.epoch), jnp.float32)
+        self._aot_warmed = True
         self._train_step = cached_compile(
             self._train_step, self.state.params, self.state.loss_params,
             self.state.opt_state, x, y, valid, lr, jax.random.key(0))
@@ -188,6 +191,14 @@ class SupervisedTrainer:
         for i, (batch, x, y, valid) in enumerate(prefetch_threaded(batcher, to_device)):
             if max_batches is not None and i >= max_batches:
                 break
+            if (train and not self._aot_warmed and jax.default_backend() != "cpu"
+                    and os.environ.get("W2VHS_AOT") != "0"):
+                # First-batch AOT warm: every runner (not just bench) reuses serialized
+                # executables across processes — minutes of remote compile per process
+                # otherwise (utils/aot.py). Uses post-device_preprocess shapes.
+                self._aot_warmed = True
+                xw = self.device_preprocess(x) if self.device_preprocess is not None else x
+                self.aot_warm(xw, y, valid)
             if self.device_preprocess is not None:
                 # Raw-wire mode: the loader ships raw low-rate windows (8x fewer bytes on
                 # the transfer-bound relay link) and the preprocessing chain runs on
