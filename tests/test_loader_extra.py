@@ -68,3 +68,32 @@ def test_int16_wire_format_roundtrip():
     best = trainer.fit(Batcher(ds, 4, True, wire_int16=True),
                        Batcher(ds, 4, False, wire_int16=True), epochs=1)
     assert np.isfinite(best)
+
+
+def test_prefetch_threaded_worker_stops_on_abandon():
+    """Abandoning the generator early (max_batches break) must release the worker thread
+    rather than leave it blocked forever on the bounded queue (review finding)."""
+    import threading
+    import time
+
+    from wav2vec_heart_sounds_tpu.data.loader import prefetch_threaded
+
+    released = threading.Event()
+
+    def items():
+        try:
+            for i in range(100):
+                yield i
+        finally:
+            released.set()
+
+    before = threading.active_count()
+    gen = prefetch_threaded(items())
+    assert next(gen) == 0
+    gen.close()                      # consumer abandons mid-epoch
+    assert released.wait(timeout=5.0), "worker thread never exited the source iterator"
+    for _ in range(50):              # thread count settles back
+        if threading.active_count() <= before:
+            break
+        time.sleep(0.1)
+    assert threading.active_count() <= before
