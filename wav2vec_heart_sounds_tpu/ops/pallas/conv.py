@@ -24,10 +24,11 @@ The shifted-by-one-frame tap (x[2t+2]) is fed through a second, 8-row haloed inp
 blocks never overlap; :func:`wav2vec_heart_sounds_tpu.models.wav2vec2.conv_time_plan`
 guarantees the halo stays in bounds (``P_in >= 2*P_out + 8``).
 
-Backward: ``dpre = dy * gelu'(pre)`` is a cheap XLA elementwise pass; ``dx``/``dW`` ride
-``jax.vjp`` of the XLA conv (its transposed-conv and conv-grad-weights lowerings). A Pallas
-dW kernel (sequential-grid VMEM accumulation of ``f^T @ dpre``) was tried and measured
-~2x slower than XLA's conv-grad on hardware — revisit only with a profile in hand.
+Backward (fully fused, ``_bwd_kernel``): dpre in-register from a pre/g halo read, dx as
+non-overlapping shifted-dpre frame matmuls, dW as per-batch-group partial sums reduced by
+the caller (a single globally-revisited dW block measured ~2x slower than XLA's
+conv-grad; per-group partials along the inner grid dimension pipeline properly). Even so,
+the whole fused path loses in-model — see STATUS above.
 
 Numerics: matmuls in the input dtype (bf16 on TPU) with float32 accumulation — the same
 contract as the XLA conv — and the erf-based GELU, so the aligned-path parity tests hold.
