@@ -77,3 +77,15 @@ def test_prune_lru(tmp_path, monkeypatch):
     _os.utime(old, (0, 0))                 # force old mtime
     _prune(tmp_path, keep=new)
     assert not old.exists() and new.exists()
+
+
+def test_cached_compile_signature_fallback(tmp_path):
+    """A cached executable pinned to one signature must route other shapes/dtypes back
+    to the jit instead of raising (regression: eval step warmed from an int16-wire
+    train batch, then fed float32 eval batches)."""
+    f = jax.jit(lambda x: (x * 2).sum())
+    xi = jnp.arange(6, dtype=jnp.int32)
+    xf = jnp.arange(8, dtype=jnp.float32)
+    c = cached_compile(f, xi, cache_dir=tmp_path)
+    np.testing.assert_allclose(float(c(xi)), 30.0)
+    np.testing.assert_allclose(float(c(xf)), 56.0)   # different shape AND dtype

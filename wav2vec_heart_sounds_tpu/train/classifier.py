@@ -116,8 +116,11 @@ class SupervisedTrainer:
         self._train_step = cached_compile(
             self._train_step, self.state.params, self.state.loss_params,
             self.state.opt_state, x, y, valid, lr, jax.random.key(0))
+        # Eval loaders ship float32 even when the train wire is int16 (loader policy:
+        # eval batches feed plain apply fns) — warm eval with the float signature.
+        xe = jnp.zeros(x.shape, jnp.float32) if jnp.issubdtype(x.dtype, jnp.integer) else x
         self._eval_step = cached_compile(
-            self._eval_step, self.state.params, self.state.loss_params, x, y, valid)
+            self._eval_step, self.state.params, self.state.loss_params, xe, y, valid)
 
     # --- jitted steps -------------------------------------------------------
 

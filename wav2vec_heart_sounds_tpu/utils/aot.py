@@ -154,6 +154,19 @@ def cached_compile(jitted: Callable, *args: Any, cache_dir: Path | None = None,
     cdir = Path(cache_dir) if cache_dir is not None else DEFAULT_DIR
     path = cdir / f"{key}.pjrt"
 
+    def with_sig_fallback(fast):
+        """Compiled executables are pinned to one signature; route calls with different
+        shapes/dtypes back to the jit (which compiles for them) instead of raising —
+        e.g. an eval step warmed from an int16-wire train batch later fed float32."""
+
+        def call(*a, **k):
+            try:
+                return fast(*a, **k)
+            except TypeError:
+                return jitted(*a, **k)
+
+        return call
+
     if path.exists():
         try:
             from jax.experimental import serialize_executable as se
@@ -172,6 +185,8 @@ def cached_compile(jitted: Callable, *args: Any, cache_dir: Path | None = None,
             def call(*a, **k):
                 try:
                     return state["fn"](*a, **k)
+                except TypeError:
+                    raise   # signature mismatch, not a bad blob — outer fallback handles
                 except Exception:
                     if state["fn"] is not loaded:
                         raise
@@ -181,7 +196,7 @@ def cached_compile(jitted: Callable, *args: Any, cache_dir: Path | None = None,
                     state["fn"] = lowered.compile()
                     return state["fn"](*a, **k)
 
-            return call
+            return with_sig_fallback(call)
         except Exception as exc:  # stale/incompatible blob: recompile below
             if verbose:
                 print(f"[aot] reload failed ({type(exc).__name__}); recompiling")
@@ -201,7 +216,7 @@ def cached_compile(jitted: Callable, *args: Any, cache_dir: Path | None = None,
     except Exception as exc:
         if verbose:
             print(f"[aot] serialize unsupported ({type(exc).__name__}); in-memory only")
-    return compiled
+    return with_sig_fallback(compiled)
 
 
 def _prune(cdir: Path, keep: Path | None = None) -> None:
