@@ -7,6 +7,8 @@ import pytest
 
 from wav2vec_heart_sounds_tpu.utils.aot import cached_compile, _key
 
+pytestmark = pytest.mark.fast
+
 
 def test_cached_compile_roundtrip(tmp_path):
     f = jax.jit(lambda x: jnp.sin(x).sum())

@@ -1,10 +1,13 @@
 """Loader edge cases: tiny datasets, prefetch, window_starts boundaries."""
 
 import numpy as np
+import pytest
 import jax
 
 from wav2vec_heart_sounds_tpu.data import Batcher, Fragment, FragmentDataset, prefetch_to_device
 from wav2vec_heart_sounds_tpu.signal import WindowSpec, window_starts
+
+pytestmark = pytest.mark.fast
 
 
 def _tiny_ds(n=3, t=100):
