@@ -7,7 +7,6 @@ import jax
 from wav2vec_heart_sounds_tpu.data import Batcher, Fragment, FragmentDataset, prefetch_to_device
 from wav2vec_heart_sounds_tpu.signal import WindowSpec, window_starts
 
-pytestmark = pytest.mark.fast
 
 
 def _tiny_ds(n=3, t=100):

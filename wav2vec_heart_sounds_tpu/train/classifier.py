@@ -117,8 +117,14 @@ class SupervisedTrainer:
             self._train_step, self.state.params, self.state.loss_params,
             self.state.opt_state, x, y, valid, lr, jax.random.key(0))
         # Eval loaders ship float32 even when the train wire is int16 (loader policy:
-        # eval batches feed plain apply fns) — warm eval with the float signature.
-        xe = jnp.zeros(x.shape, jnp.float32) if jnp.issubdtype(x.dtype, jnp.integer) else x
+        # eval batches feed plain apply fns) — warm eval with the float signature,
+        # keeping x's sharding (a fabricated unsharded zeros array would pin the compiled
+        # executable to the wrong input sharding under a dp mesh).
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            xe = jax.device_put(jnp.zeros(x.shape, jnp.float32),
+                                getattr(x, "sharding", None))
+        else:
+            xe = x
         self._eval_step = cached_compile(
             self._eval_step, self.state.params, self.state.loss_params, xe, y, valid)
 
@@ -200,9 +206,10 @@ class SupervisedTrainer:
                 # executables across processes — minutes of remote compile per process
                 # otherwise (utils/aot.py). Uses post-device_preprocess shapes.
                 self._aot_warmed = True
-                xw = self.device_preprocess(x) if self.device_preprocess is not None else x
-                self.aot_warm(xw, y, valid)
-            if self.device_preprocess is not None:
+                if self.device_preprocess is not None:
+                    x = self.device_preprocess(x)   # reused below — don't run the chain twice
+                self.aot_warm(x, y, valid)
+            elif self.device_preprocess is not None:
                 # Raw-wire mode: the loader ships raw low-rate windows (8x fewer bytes on
                 # the transfer-bound relay link) and the preprocessing chain runs on
                 # device here — as chained jitted stages, NOT inside the train-step jit

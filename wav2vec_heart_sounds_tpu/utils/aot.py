@@ -26,6 +26,12 @@ import pickle
 from pathlib import Path
 from typing import Any, Callable
 
+
+def _tree_leaves(tree):
+    import jax
+
+    return jax.tree_util.tree_leaves(tree)
+
 DEFAULT_DIR = Path(os.environ.get("W2VHS_AOT_DIR", "")) if os.environ.get(
     "W2VHS_AOT_DIR") else Path(__file__).resolve().parents[2] / ".aot_cache"
 
@@ -154,16 +160,25 @@ def cached_compile(jitted: Callable, *args: Any, cache_dir: Path | None = None,
     cdir = Path(cache_dir) if cache_dir is not None else DEFAULT_DIR
     path = cdir / f"{key}.pjrt"
 
+    def _sig(tree) -> tuple:
+        return tuple(
+            (getattr(l, "shape", None), getattr(l, "dtype", None),
+             getattr(l, "sharding", None))
+            for l in _tree_leaves(tree))
+
+    expected_sig = _sig((args, kwargs))
+
     def with_sig_fallback(fast):
-        """Compiled executables are pinned to one signature; route calls with different
-        shapes/dtypes back to the jit (which compiles for them) instead of raising —
-        e.g. an eval step warmed from an int16-wire train batch later fed float32."""
+        """Compiled executables are pinned to one signature (shapes, dtypes, shardings);
+        route calls that differ back to the jit (which compiles for them) instead of
+        letting the executable raise — e.g. an eval step warmed from an int16-wire train
+        batch later fed float32, or a differently-sharded batch. Checked *before*
+        execution: donated buffers must not be consumed by a doomed attempt."""
 
         def call(*a, **k):
-            try:
-                return fast(*a, **k)
-            except TypeError:
+            if _sig((a, k)) != expected_sig:
                 return jitted(*a, **k)
+            return fast(*a, **k)
 
         return call
 
