@@ -146,6 +146,8 @@ def build_raw_fragments(
         except (FileNotFoundError, ValueError, OSError):
             continue
         pcg = np.asarray(signal[:, 0], dtype=np.float32)
+        if pcg.size == 0:   # degenerate record: np.max would raise on empty
+            continue
         if int(round(fs)) != fs_wire:
             pcg = host_resample(pcg, fs, fs_wire)
         peak = float(np.max(np.abs(pcg))) or 1.0

@@ -17,8 +17,10 @@ gradients. Verified against autodiff of the reference einsum path in interpreter
 (tests/test_pallas_attention.py); the dropout paths (hardware PRNG) are exercised on TPU.
 
 Sequences here are short and fixed (<= ~200 frames), so no K/V tiling or online-softmax
-streaming is needed. T is padded to a multiple of 128 lanes; padded key columns are masked to
--inf, padded query rows produce garbage that callers slice off.
+streaming is needed. T is padded to a multiple of 8 sublanes only (Mosaic masks partial
+128-lane register tiles itself — see ``_pad_len``); padded key columns are masked to -inf,
+padded query rows produce garbage that callers slice off. Inputs may arrive in ``bhtd`` or
+``bthd`` layout (the latter avoids a transpose at the call site).
 """
 
 from __future__ import annotations
@@ -183,6 +185,9 @@ def _flash_fwd(q, k, v, seed, dropout_rate, t, interpret, layout="bhtd"):
     out_shape = (b, tp, h, d) if bthd else (b, h, tp, d)
     out = pl.pallas_call(
         partial(_fwd_kernel, t=t_eff, scale=scale, rate=dropout_rate, bthd=bthd),
+        # Statics baked into the kernel closure are invisible in the payload-stripped
+        # StableHLO the AOT cache keys on; the name pins them (utils/aot.py).
+        name=f"flash_fwd_t{t_eff}_r{dropout_rate}_{layout}",
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, h // hb),
@@ -213,6 +218,7 @@ def _flash_bwd(dropout_rate, t, interpret, layout, residuals, g):
     shape = jax.ShapeDtypeStruct((b, tp, h, d) if bthd else (b, h, tp, d), q.dtype)
     dq, dk, dv = pl.pallas_call(
         partial(_bwd_kernel, t=t_eff, scale=scale, rate=dropout_rate, bthd=bthd),
+        name=f"flash_bwd_t{t_eff}_r{dropout_rate}_{layout}",
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, h // hb),

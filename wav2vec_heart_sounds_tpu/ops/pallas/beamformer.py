@@ -96,9 +96,10 @@ def _grad_x_kernel(dpad_ref, gpad_ref, spad_ref, out_ref, *, K: int,
     out_ref[:, :] = acc
 
 
-def _call(kernel, out_shape, *args, interpret):
+def _call(kernel, out_shape, *args, interpret, name):
     return pl.pallas_call(
         kernel,
+        name=name,
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in args],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -121,11 +122,21 @@ def sinc_delay(x: jnp.ndarray, delays: jnp.ndarray, kernel_size: int,
     return _sinc_delay_fwd(x, delays, kernel_size, window, interpret)[0]
 
 
+def _params_tag(K, window):
+    """K and the window taps live only in the unrolled kernel closure; the tag puts them
+    in the pallas_call name so the AOT cache key (utils/aot.py) sees them."""
+    import hashlib
+
+    w = hashlib.sha256(repr(tuple(window)).encode()).hexdigest()[:8]
+    return f"k{K}_w{w}"
+
+
 def _sinc_delay_fwd(x, delays, kernel_size, window, interpret):
     half = kernel_size // 2
     xpad = jnp.pad(x, [(0, 0), (half, half)], mode="reflect").astype(jnp.float32)
     y = _call(partial(_forward_kernel, K=kernel_size, window=window),
-              delays.shape, xpad, delays.astype(jnp.float32), interpret=interpret)
+              delays.shape, xpad, delays.astype(jnp.float32), interpret=interpret,
+              name=f"bf_fwd_{_params_tag(kernel_size, window)}")
     return y, (x, delays)
 
 
@@ -139,7 +150,8 @@ def _sinc_delay_bwd(kernel_size, window, interpret, residuals, g):
     g32 = g.astype(jnp.float32)
 
     dd = _call(partial(_grad_d_kernel, K=K, window=window), delays.shape,
-               xpad, d32, g32, interpret=interpret)
+               xpad, d32, g32, interpret=interpret,
+               name=f"bf_grad_d_{_params_tag(K, window)}")
 
     snorm = _norm_sum(xpad, d32, K, window)
     pad = [(0, 0), (K - 1, K - 1)]
@@ -147,7 +159,8 @@ def _sinc_delay_bwd(kernel_size, window, interpret, residuals, g):
     gpad = jnp.pad(g32, pad)
     spad = jnp.pad(snorm, pad, constant_values=1.0)
     dxpad = _call(partial(_grad_x_kernel, K=K, window=window), (B, T + 2 * half),
-                  dpad, gpad, spad, interpret=interpret)
+                  dpad, gpad, spad, interpret=interpret,
+                  name=f"bf_grad_x_{_params_tag(K, window)}")
 
     # Undo the reflect padding: fold boundary-pad gradients back into the interior.
     dx = dxpad[:, half:half + T]

@@ -45,6 +45,9 @@ def _run(x2: jnp.ndarray, seed_arr: jnp.ndarray, rate: float,
     grid = -(-n // rows)
     return pl.pallas_call(
         partial(_kernel, rate=rate),
+        # rate lives only in the kernel closure — the name pins it for the AOT cache key
+        # (utils/aot.py strips backend_config payloads).
+        name=f"prng_dropout_r{rate}",
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),

@@ -189,12 +189,20 @@ def cached_compile(jitted: Callable, *args: Any, cache_dir: Path | None = None,
             payload = pickle.loads(path.read_bytes())
             loaded = se.deserialize_and_load(*payload) if isinstance(payload, tuple) \
                 else se.deserialize_and_load(payload)
-            os.utime(path)   # LRU touch for _prune
+            try:
+                os.utime(path)   # LRU touch for _prune
+            except OSError:
+                pass   # read-only/shared cache dir: a failed touch must not discard
+                       # a successfully-deserialized executable
             if verbose:
                 print(f"[aot] loaded {path.name}")
             # Self-healing: a blob can deserialize yet fail at execution (e.g. XLA:CPU
             # AOT embeds compile-machine ISA features; a host mismatch raises at call
-            # time). First failure drops the entry and recompiles transparently.
+            # time). First failure drops the entry and recompiles transparently — but
+            # only when the program donates no inputs: a failed dispatch may already
+            # have consumed donated buffers, so retrying with the same (now-deleted)
+            # arrays would crash confusingly instead of recovering.
+            donated = "tf.aliasing_output" in lowered.as_text()
             state = {"fn": loaded}
 
             def call(*a, **k):
@@ -202,12 +210,21 @@ def cached_compile(jitted: Callable, *args: Any, cache_dir: Path | None = None,
                     return state["fn"](*a, **k)
                 except TypeError:
                     raise   # signature mismatch, not a bad blob — outer fallback handles
-                except Exception:
+                except Exception as exc:
                     if state["fn"] is not loaded:
                         raise
+                    try:
+                        path.unlink(missing_ok=True)
+                    except OSError:
+                        pass
+                    if donated:
+                        raise RuntimeError(
+                            f"cached executable {path.name} failed mid-execution and its "
+                            "inputs are donated (buffers may already be consumed); the "
+                            "cache entry has been dropped — rerun to recompile"
+                        ) from exc
                     if verbose:
                         print("[aot] cached executable failed; recompiling")
-                    path.unlink(missing_ok=True)
                     state["fn"] = lowered.compile()
                     return state["fn"](*a, **k)
 
