@@ -111,3 +111,32 @@ def test_bthd_vjp_matches_autodiff():
     gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gr):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5, rtol=1e-4)
+
+
+def test_packed_qkv_matches_unpacked():
+    from wav2vec_heart_sounds_tpu.ops.pallas.attention import flash_attention_qkv
+
+    q, k, v = _qkv(t=57, seed=3)
+    packed = jnp.concatenate([q, k, v], axis=1)          # [B, 3H, T, d]
+    out = flash_attention_qkv(packed, SEED, 0.0, None, True)
+    ref = reference_attention(q, k, v)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_packed_qkv_vjp_matches_autodiff():
+    from wav2vec_heart_sounds_tpu.ops.pallas.attention import flash_attention_qkv
+
+    q, k, v = _qkv(t=40, seed=4)
+    packed = jnp.concatenate([q, k, v], axis=1)
+
+    def loss_packed(p):
+        return jnp.sum(jnp.sin(flash_attention_qkv(p, SEED, 0.0, None, True)))
+
+    def loss_ref(p):
+        h = p.shape[1] // 3
+        return jnp.sum(jnp.sin(reference_attention(p[:, :h], p[:, h:2 * h], p[:, 2 * h:])))
+
+    gp = jax.grad(loss_packed)(packed)
+    gr = jax.grad(loss_ref)(packed)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=3e-5, rtol=1e-4)

@@ -263,3 +263,29 @@ class TestTimeAlignedPath:
         out = model.apply(v, x, train=True, mask_key=jax.random.key(1),
                           rngs={"dropout": jax.random.key(2)})
         assert np.isfinite(np.asarray(out)).all()
+
+
+def test_fused_qkv_matches_default(monkeypatch):
+    """The packed fused-QKV path (one [cin, 3D] dot + packed flash kernel) must match the
+    default per-projection path — including with LoRA adapters active."""
+    from wav2vec_heart_sounds_tpu.models.wav2vec2 import Wav2Vec2Model
+
+    for rank in (0, 8):
+        cfg = Wav2Vec2Config.tiny(lora_rank=rank)
+        model = Wav2Vec2Model(cfg)
+        x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 2000)), jnp.float32)
+        monkeypatch.delenv("W2VHS_QKVFUSE", raising=False)
+        variables = model.init(jax.random.key(0), x)
+        ref = model.apply(variables, x)
+        monkeypatch.setenv("W2VHS_QKVFUSE", "1")
+        # Param trees must be identical between the two declaration paths.
+        v2 = model.init(jax.random.key(0), x)
+        ref_leaves = jax.tree_util.tree_leaves_with_path(variables)
+        fused_leaves = jax.tree_util.tree_leaves_with_path(v2)
+        assert [p for p, _ in ref_leaves] == [p for p, _ in fused_leaves]
+        for (_, a), (_, b) in zip(ref_leaves, fused_leaves):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        out = model.apply(variables, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+        monkeypatch.delenv("W2VHS_QKVFUSE", raising=False)

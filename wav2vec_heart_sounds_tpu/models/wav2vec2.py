@@ -441,6 +441,37 @@ class LoraDense(nn.Module):
         return y
 
 
+class _DenseParams(nn.Module):
+    """``nn.Dense``-compatible params (kernel/bias) without the matmul.
+
+    Declaring the params separately from the compute lets the attention block fuse the
+    q/k/v projections into one dot while keeping the checkpoint tree bit-identical to
+    three ``nn.Dense``/:class:`LoraDense` modules (same param paths, shapes, and default
+    initializers, so init RNG streams and HF ports are unchanged)."""
+    features: int
+
+    @nn.compact
+    def __call__(self, cin: int):
+        k = self.param("kernel", nn.initializers.lecun_normal(), (cin, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        return k, b
+
+
+class _LoraParams(nn.Module):
+    """:class:`LoraDense`-compatible params: base kernel/bias + optional lora_a/lora_b."""
+    features: int
+    rank: int = 0
+
+    @nn.compact
+    def __call__(self, cin: int):
+        k, b = _DenseParams(self.features, name="base")(cin)
+        if self.rank > 0:
+            a = self.param("lora_a", nn.initializers.he_uniform(), (cin, self.rank))
+            bb = self.param("lora_b", nn.initializers.zeros, (self.rank, self.features))
+            return k, b, a, bb
+        return k, b, None, None
+
+
 class SelfAttention(nn.Module):
     config: Wav2Vec2Config
     dtype: Any = jnp.float32
@@ -454,24 +485,64 @@ class SelfAttention(nn.Module):
         hd = d // nh
         t_eff = self.valid_len or x.shape[1]
         x = x.astype(self.dtype)
+        dt = self.dtype
 
-        q = LoraDense(d, rank=cfg.lora_rank, alpha=cfg.lora_alpha,
-                      lora_dropout=cfg.lora_dropout, dtype=self.dtype,
-                      name="q_proj")(x, deterministic)
-        k = nn.Dense(d, dtype=self.dtype, name="k_proj")(x)
-        v = LoraDense(d, rank=cfg.lora_rank, alpha=cfg.lora_alpha,
-                      lora_dropout=cfg.lora_dropout, dtype=self.dtype,
-                      name="v_proj")(x, deterministic)
+        cin = x.shape[-1]
+        wq, bq, aq, abq = _LoraParams(d, cfg.lora_rank, name="q_proj")(cin)
+        wk, bk = _DenseParams(d, name="k_proj")(cin)
+        wv, bv, av, abv = _LoraParams(d, cfg.lora_rank, name="v_proj")(cin)
+
+        def bypass(a, bb):
+            h = x
+            if cfg.lora_dropout > 0 and not deterministic:
+                h = nn.Dropout(cfg.lora_dropout, deterministic=False)(h)
+            return (cfg.lora_alpha / cfg.lora_rank) * (
+                (h.astype(dt) @ a.astype(dt)) @ bb.astype(dt))
+
+        import os
+
+        use_flash = (jax.default_backend() != "cpu"
+                     and os.environ.get("W2VHS_NO_FLASH") != "1")
+        # Fused QKV: one [cin, 3D] dot instead of three (fewer, larger MXU launches; one
+        # head transpose of the packed tensor instead of three; the packed kernel reads
+        # q/k/v from the same buffer via head-offset index maps — no slice copies).
+        use_packed = ((use_flash and os.environ.get("W2VHS_NO_QKVFUSE") != "1"
+                       and os.environ.get("W2VHS_ATTN_LAYOUT") != "bthd")
+                      or os.environ.get("W2VHS_QKVFUSE") == "1")
+        if use_packed:
+            from ..ops.pallas.attention import flash_attention_qkv
+
+            wqkv = jnp.concatenate([w.astype(dt) for w in (wq, wk, wv)], axis=1)
+            bqkv = jnp.concatenate([b.astype(dt) for b in (bq, bk, bv)])
+            qkv = x @ wqkv + bqkv                          # [B, T, 3D]
+            if cfg.lora_rank > 0:
+                zq, zv = bypass(aq, abq), bypass(av, abv)
+                qkv = qkv + jnp.concatenate([zq, jnp.zeros_like(zq), zv], axis=-1)
+            qkv = jnp.swapaxes(qkv.reshape(x.shape[0], x.shape[1], 3 * nh, hd), 1, 2)
+            rate = 0.0 if deterministic else cfg.attention_dropout
+            seed = jnp.zeros((), jnp.int32)
+            if rate > 0.0:
+                seed = jax.random.randint(self.make_rng("dropout"), (), 0,
+                                          jnp.iinfo(jnp.int32).max)
+            out = flash_attention_qkv(qkv, seed, rate, t_eff,
+                                      jax.default_backend() == "cpu")
+            out = jnp.swapaxes(out, 1, 2).astype(dt)       # [B, T, H, hd]
+            out = out.reshape(out.shape[0], out.shape[1], d)
+            return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
+
+        def dense(w, b_):
+            return x @ w.astype(dt) + b_.astype(dt)
+
+        q, k, v = dense(wq, bq), dense(wk, bk), dense(wv, bv)
+        if cfg.lora_rank > 0:
+            q = q + bypass(aq, abq)
+            v = v + bypass(av, abv)
 
         def split(t):
             return t.reshape(t.shape[0], t.shape[1], nh, hd)
 
         q, k, v = split(q), split(k), split(v)
 
-        import os
-
-        use_flash = (jax.default_backend() != "cpu"
-                     and os.environ.get("W2VHS_NO_FLASH") != "1")
         if use_flash:
             # Fused Pallas attention: no [B, H, T, T] tensors in HBM, dropout in-kernel
             # (profiled as the single hottest component of the train step otherwise).

@@ -236,6 +236,90 @@ def _flash_bwd(dropout_rate, t, interpret, layout, residuals, g):
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def flash_attention_qkv(qkv: jnp.ndarray, seed: jnp.ndarray, dropout_rate: float = 0.0,
+                        t: int | None = None, interpret: bool = False) -> jnp.ndarray:
+    """Fused attention over a *packed* projection tensor ``[B, 3H, T, d]``.
+
+    The fused QKV projection emits one ``[B, T, 3D]`` tensor; reshaping it to heads and
+    transposing once yields ``[B, 3H, T, d]`` with heads ``0..H-1`` = Q, ``H..2H-1`` = K,
+    ``2H..3H-1`` = V. Slicing that tensor into q/k/v in XLA would materialise three copies
+    at the custom-call boundary; instead the kernel reads all three roles from the *same*
+    operand through head-offset index maps (same buffer, three views — no copies).
+    Numerics and dropout semantics are identical to :func:`flash_attention`.
+    """
+    return _packed_fwd(qkv, seed, dropout_rate, t, interpret)[0]
+
+
+def _packed_specs(h: int, hb: int, tp: int, d: int):
+    """Three views of one [B, 3H, Tp, d] operand, offset by role in head-block units."""
+    def spec(role):
+        off = role * (h // hb)
+        return pl.BlockSpec((1, hb, tp, d), lambda b, hh, *_, _o=off: (b, hh + _o, 0, 0),
+                            memory_space=pltpu.VMEM)
+    return [spec(0), spec(1), spec(2)]
+
+
+def _packed_fwd(qkv, seed, dropout_rate, t, interpret):
+    b, h3, t_real, d = qkv.shape
+    h = h3 // 3
+    t_eff = t or t_real
+    tp = _pad_len(t_real)
+    scale = 1.0 / float(np.sqrt(d))
+    qkvp = _pad(qkv, tp, 2)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    hb = _head_block(h, tp)
+    out = pl.pallas_call(
+        partial(_fwd_kernel, t=t_eff, scale=scale, rate=dropout_rate),
+        name=f"flash_fwd_qkv_t{t_eff}_r{dropout_rate}",
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h // hb),
+            in_specs=_packed_specs(h, hb, tp, d),
+            out_specs=_blockspec("bhtd", hb, tp, d),
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, tp, d), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(seed_arr, qkvp, qkvp, qkvp)
+    return out[:, :, :t_real, :], (qkv, seed)
+
+
+def _packed_bwd(dropout_rate, t, interpret, residuals, g):
+    qkv, seed = residuals
+    b, h3, t_real, d = qkv.shape
+    h = h3 // 3
+    t_eff = t or t_real
+    tp = _pad_len(t_real)
+    scale = 1.0 / float(np.sqrt(d))
+    qkvp = _pad(qkv, tp, 2)
+    gp = _pad(g, tp, 2)
+    seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
+
+    hb = _head_block(h, tp)
+    spec = _blockspec("bhtd", hb, tp, d)
+    shape = jax.ShapeDtypeStruct((b, h, tp, d), qkv.dtype)
+    dq, dk, dv = pl.pallas_call(
+        partial(_bwd_kernel, t=t_eff, scale=scale, rate=dropout_rate),
+        name=f"flash_bwd_qkv_t{t_eff}_r{dropout_rate}",
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h // hb),
+            in_specs=_packed_specs(h, hb, tp, d) + [spec],
+            out_specs=(spec,) * 3,
+        ),
+        out_shape=(shape, shape, shape),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=interpret,
+    )(seed_arr, qkvp, qkvp, qkvp, gp)
+    dqkv = jnp.concatenate([dq, dk, dv], axis=1)[:, :, :t_real, :]
+    return dqkv, jnp.zeros_like(seed)
+
+
+flash_attention_qkv.defvjp(_packed_fwd, _packed_bwd)
+
+
 def reference_attention(q, k, v, *, dropout_rate: float = 0.0, key=None):
     """XLA einsum reference ([B, H, T, d]); used for fallback and tests."""
     d = q.shape[-1]
