@@ -226,12 +226,46 @@ class FastLayerNorm(nn.Module):
         d = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
-        xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=-1, keepdims=True)
-        var = jnp.maximum(jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
-                          - jnp.square(mean), 0.0)
-        y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
-        return (y * scale + bias).astype(self.dtype)
+        return _ln_apply(x, scale, bias, self.epsilon, self.dtype)
+
+
+def _ln_apply(x, scale, bias, eps, dtype):
+    """FastLayerNorm math as a function (shared with the fused residual-tail path)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.maximum(jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+                      - jnp.square(mean), 0.0)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale + bias).astype(dtype)
+
+
+class _LnParams(nn.Module):
+    """FastLayerNorm-compatible params (scale/bias at the same path/initializers), so the
+    encoder layers can route the ``dropout -> add -> norm`` tail through the fused Pallas
+    op while keeping the checkpoint tree identical."""
+
+    @nn.compact
+    def __call__(self, d: int):
+        scale = self.param("scale", nn.initializers.ones, (d,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (d,), jnp.float32)
+        return scale, bias
+
+
+def _resid_tail(mod: nn.Module, h: jnp.ndarray, x: jnp.ndarray, scale, bias,
+                rate: float, eps: float, dtype, deterministic: bool) -> jnp.ndarray:
+    """``LayerNorm(x + dropout(h))`` — fused Pallas op on TPU training, XLA otherwise."""
+    import os
+
+    if (not deterministic and rate > 0.0 and jax.default_backend() != "cpu"
+            and os.environ.get("W2VHS_NO_FLASH") != "1"
+            and os.environ.get("W2VHS_NO_RESIDFUSE") != "1"):
+        from ..ops.pallas.resid import dropout_add_layernorm
+
+        seed = jax.random.randint(mod.make_rng("dropout"), (), 0,
+                                  jnp.iinfo(jnp.int32).max)
+        return dropout_add_layernorm(h, x, scale, bias, seed, rate, eps)
+    h = _dropout(mod, h, rate, deterministic)
+    return _ln_apply(x + h, scale, bias, eps, dtype)
 
 
 def _conv_fuse_enabled() -> bool:
@@ -590,16 +624,16 @@ class EncoderLayer(nn.Module):
         cfg = self.config
         attn = SelfAttention(cfg, dtype=self.dtype, valid_len=self.valid_len,
                              name="attention")(x, deterministic)
-        attn = _dropout(self, attn, cfg.hidden_dropout, deterministic)
-        x = FastLayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                          name="layer_norm")(x + attn)
+        sc1, b1 = _LnParams(name="layer_norm")(cfg.hidden_size)
+        x = _resid_tail(self, attn, x, sc1, b1, cfg.hidden_dropout,
+                        cfg.layer_norm_eps, self.dtype, deterministic)
         h = FusedDenseGeluDropout(cfg.intermediate_size, cfg.activation_dropout,
                                   dtype=self.dtype,
                                   name="intermediate_dense")(x, deterministic)
         h = nn.Dense(cfg.hidden_size, dtype=self.dtype, name="output_dense")(h)
-        h = _dropout(self, h, cfg.hidden_dropout, deterministic)
-        return FastLayerNorm(epsilon=cfg.layer_norm_eps, dtype=self.dtype,
-                             name="final_layer_norm")(x + h)
+        sc2, b2 = _LnParams(name="final_layer_norm")(cfg.hidden_size)
+        return _resid_tail(self, h, x, sc2, b2, cfg.hidden_dropout,
+                           cfg.layer_norm_eps, self.dtype, deterministic)
 
 
 class Wav2Vec2Model(nn.Module):
