@@ -155,6 +155,38 @@ def test_data_parallel_training_on_mesh():
     assert np.isfinite(best)
 
 
+def test_data_parallel_batch_actually_sharded():
+    """A replicate-everything regression in maybe_shard_batch must fail loudly: the batch
+    must land sharded over ``dp`` (one distinct shard per device, batch/8 rows each), and
+    the compiled train step must contain a gradient all-reduce (SURVEY.md §2.7)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from wav2vec_heart_sounds_tpu.parallel import data_parallel_mesh
+    from wav2vec_heart_sounds_tpu.parallel.mesh import maybe_shard_batch
+
+    mesh = data_parallel_mesh(8)
+    x = maybe_shard_batch(np.ones((16, 800), np.float32), mesh)
+    assert x.sharding == NamedSharding(mesh, P("dp"))
+    assert not x.sharding.is_fully_replicated
+    shards = x.addressable_shards
+    assert len(shards) == 8 and all(s.data.shape == (2, 800) for s in shards)
+
+    # batch not divisible by the mesh: a clear error, not silent replication
+    with pytest.raises(ValueError, match="not divisible"):
+        maybe_shard_batch(np.ones((10, 800), np.float32), mesh)
+
+    model, params, cfg = _tiny_classifier()
+    trainer = SupervisedTrainer(model, params, optimizer_name="sgd", lr=1e-3,
+                                classifier_config=cfg, mesh=mesh, log=lambda s: None)
+    y = maybe_shard_batch(np.zeros((16,), np.int64), mesh)
+    valid = maybe_shard_batch(np.ones((16,), np.float32), mesh)
+    lowered = trainer._train_step.lower(
+        trainer.state.params, trainer.state.loss_params, trainer.state.opt_state,
+        x, y, valid, jnp.asarray(1e-3, jnp.float32), jax.random.key(0))
+    hlo = lowered.compile().as_text()
+    assert "all-reduce" in hlo, "no gradient all-reduce in the compiled dp train step"
+
+
 def test_neural_svm_probe():
     model, params, cfg = _tiny_classifier()
     ds = _toy_dataset(n=24)

@@ -53,8 +53,11 @@ def _head_block(h: int, tp: int) -> int:
     """Largest divisor of ``h`` whose working set fits comfortably in VMEM.
 
     The backward kernel keeps ~7 float32 [hb, Tp, Tp] buffers live; cap that at ~10 MB
-    (the scoped-vmem limit is 16 MB)."""
-    budget = 10 * 1024 * 1024
+    (the scoped-vmem limit is 16 MB). W2VHS_ATTN_VMEM_MB overrides the budget for
+    block-size A/B sweeps (e.g. 16 -> all 12 heads in one program at T=200)."""
+    import os
+
+    budget = int(os.environ.get("W2VHS_ATTN_VMEM_MB", "10")) * 1024 * 1024
     per_head = 7 * tp * tp * 4
     for hb in range(h, 0, -1):
         if h % hb == 0 and hb * per_head <= budget:

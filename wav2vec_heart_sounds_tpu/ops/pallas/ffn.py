@@ -35,8 +35,10 @@ def _block_rows(n: int, c: int) -> int:
 
     A 12 MB budget (2x blocks) measured neutral-to-slightly-worse in-model (514.9 vs
     516.5 w/s), so the smaller block stays; the calls carry a 64 MB scoped-vmem limit
-    for headroom."""
-    budget = 6 * 1024 * 1024
+    for headroom. W2VHS_FFN_VMEM_MB overrides for block-size A/B sweeps."""
+    import os
+
+    budget = int(os.environ.get("W2VHS_FFN_VMEM_MB", "6")) * 1024 * 1024
     rows = max(8, min(n, budget // max(1, c * 20)))
     return max(8, (rows // 8) * 8)
 

@@ -43,4 +43,10 @@ def maybe_shard_batch(array, mesh: Mesh | None):
     """Shard the leading (batch) axis across ``dp``; plain device_put without a mesh."""
     if mesh is None:
         return jax.device_put(array)
+    n = mesh.devices.size
+    if array.shape[0] % n:
+        raise ValueError(
+            f"batch size {array.shape[0]} is not divisible by the {n}-device dp mesh; "
+            f"pick a batch size that is a multiple of {n} (the Batcher pads partial "
+            "batches, so any multiple works)")
     return jax.device_put(array, batch_sharding(mesh))
