@@ -83,10 +83,251 @@ def run_gen_bench(batch_size: int = 8, steps: int = 3) -> dict:
     }
 
 
+def run_wavegrad_sample_bench(batch_size: int = 8, steps: int = 3,
+                              num_steps: int = 6, frames: int = 80) -> dict:
+    """WaveGrad sampling throughput (subsampled reverse schedule, WG-6 by default)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vec_heart_sounds_tpu.models.diffusion import WaveGrad, WaveGradConfig
+    from wav2vec_heart_sounds_tpu.models.diffusion.samplers import wavegrad_sample
+
+    cfg = WaveGradConfig()
+    model = WaveGrad(cfg)
+    rng = np.random.default_rng(0)
+    con = jnp.asarray(rng.uniform(0, 1, (batch_size, cfg.n_mels, frames)), jnp.float32)
+    labels = jnp.asarray(rng.integers(0, 2, batch_size), jnp.int32)
+    variables = model.init(jax.random.key(0), jnp.zeros((1, cfg.hop_length * frames)),
+                           con[:1], jnp.ones((1,), jnp.float32), labels[:1])
+
+    key = jax.random.key(1)
+    audio, sr = wavegrad_sample(model, variables, con, labels, key, num_steps=num_steps)
+    float(np.asarray(jax.device_get(audio)).ravel()[0])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        key, sub = jax.random.split(key)
+        audio, sr = wavegrad_sample(model, variables, con, labels, sub,
+                                    num_steps=num_steps)
+    float(np.asarray(jax.device_get(audio)).ravel()[0])
+    elapsed = time.perf_counter() - t0
+
+    audio_seconds = batch_size * steps * (cfg.hop_length * frames / sr)
+    value = audio_seconds / elapsed
+    return {
+        "metric": "wavegrad_sampling_audio_s_per_s",
+        "value": round(value, 3),
+        "unit": "audio-s/s",
+        "vs_baseline": None,
+        "num_steps": num_steps,
+        "batch_size": batch_size,
+        "backend": jax.default_backend(),
+    }
+
+
+def run_gen_train_bench(which: str = "diffwave", batch_size: int = 16, steps: int = 10,
+                        frames: int = 80) -> dict:
+    """Generative train-step throughput: audio-seconds of training data per wall second.
+
+    Covers SURVEY hot-loops 2-3 (reference generative/trainer.py:104-139): one jitted
+    value_and_grad + adam step of the DiffWave / WaveGrad denoising loss on synthetic
+    mel/label-conditioned batches.
+    """
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vec_heart_sounds_tpu.models.diffusion import (DiffWave, DiffWaveConfig,
+                                                           WaveGrad, WaveGradConfig)
+    from wav2vec_heart_sounds_tpu.train.generative import (GenerativeTrainer,
+                                                           diffwave_loss, wavegrad_loss)
+
+    rng = np.random.default_rng(0)
+    if which == "wavegrad":
+        cfg = WaveGradConfig()
+        model = WaveGrad(cfg)
+        loss_fn = wavegrad_loss
+    else:
+        cfg = DiffWaveConfig()
+        model = DiffWave(cfg)
+        loss_fn = diffwave_loss
+    n = cfg.hop_length * frames
+    con = rng.uniform(0, 1, (batch_size, cfg.n_mels, frames)).astype(np.float32)
+    labels = rng.integers(0, 2, batch_size).astype(np.int32)
+    audio = rng.normal(size=(batch_size, n)).astype(np.float32) * 0.1
+    if which == "wavegrad":
+        variables = model.init(jax.random.key(0), jnp.zeros((1, n)),
+                               jnp.asarray(con[:1]), jnp.ones((1,), jnp.float32),
+                               jnp.asarray(labels[:1]))
+    else:
+        variables = model.init(jax.random.key(0), jnp.zeros((1, n)),
+                               jnp.zeros((1,), jnp.int32), jnp.asarray(con[:1]),
+                               jnp.asarray(labels[:1]))
+    batch = {"ref_audio": audio, "con_spec": con, "label": labels}
+    with tempfile.TemporaryDirectory() as tmp:
+        trainer = GenerativeTrainer(model, variables, loss_fn, tmp, log=lambda s: None)
+        for _ in range(2):
+            trainer.train_step(batch)
+        jax.device_get(jax.tree_util.tree_leaves(trainer.params)[0])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            trainer.train_step(batch)
+        jax.device_get(jax.tree_util.tree_leaves(trainer.params)[0])
+        elapsed = time.perf_counter() - t0
+
+    audio_seconds = batch_size * steps * (n / cfg.sample_rate)
+    baseline = None
+    if BASELINE_FILE.exists():
+        baseline = json.loads(BASELINE_FILE.read_text()).get(
+            f"reference_gen_train_audio_s_per_s_{which}")
+    value = audio_seconds / elapsed
+    return {
+        "metric": f"{which}_train_audio_s_per_s",
+        "value": round(value, 3),
+        "unit": "audio-s/s",
+        "vs_baseline": round(value / baseline, 3) if baseline else None,
+        "batch_size": batch_size,
+        "steps": steps,
+        "backend": jax.default_backend(),
+    }
+
+
+def run_vest_bench(batch_size: int = 16, steps: int = 6, window_s: float = 2.0,
+                   fs: int = 4125, channels: int = 6, warm: int = 2) -> dict:
+    """Vest 6-channel real loop: lazy host augmentation (shared-across-mics HPSS pipeline)
+    -> Batcher int16 wire -> sinc beamformer + LoRA wav2vec2 train step (BASELINE.json
+    config 3; reference classify/beamformer.py:15-55 + experiments/multichannel.py)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vec_heart_sounds_tpu.augment import AugmentConfig
+    from wav2vec_heart_sounds_tpu.data import Fragment, FragmentDataset
+    from wav2vec_heart_sounds_tpu.data.vest import (multi_augment,
+                                                    multi_augment_host_residual)
+    from wav2vec_heart_sounds_tpu.experiments.common import make_loader
+    from wav2vec_heart_sounds_tpu.models.build import build_classifier
+    from wav2vec_heart_sounds_tpu.models.classifier import ClassifierConfig
+    from wav2vec_heart_sounds_tpu.train.classifier import SupervisedTrainer
+
+    device_augment = os.environ.get("W2VHS_VEST_DEVAUG") == "1"
+    win_len = int(round(window_s * fs))
+    aug_num = 15                                  # reference default expansion
+    n_items = batch_size * (steps + warm + 2)
+    n_base = max(2, -(-n_items // (aug_num + 1)))
+    rng = np.random.default_rng(0)
+    t = np.arange(win_len) / fs
+    base = np.sin(2 * np.pi * 85 * t) + 0.3 * np.sin(2 * np.pi * 190 * t)
+    frags = []
+    for i in range(n_base):
+        wave = (base[:, None]
+                + 0.05 * rng.normal(size=(win_len, channels))).astype(np.float32)
+        wave /= np.max(np.abs(wave))
+        frags.append(Fragment(wave, i % 2, f"p{i}"))
+    host_fn = multi_augment_host_residual if device_augment else multi_augment
+    ds = FragmentDataset(frags, fs=fs, augment_num=aug_num,
+                         augment_fn=partial(host_fn, cfg=AugmentConfig()))
+
+    batch_transform = None
+    if device_augment:
+        from wav2vec_heart_sounds_tpu.augment.jaxaug import augment_multi_pcg_batch
+
+        batch_transform = partial(augment_multi_pcg_batch, fs=fs, cfg=AugmentConfig())
+    ccfg = ClassifierConfig(num_classes=2, num_channels=channels, random_init=True,
+                            lora=True, fs=fs, head_hidden=(256,))
+    model, variables = build_classifier(ccfg, jax.random.key(0), win_len)
+    trainer = SupervisedTrainer(model, variables, optimizer_name="adamw", lr=1e-4,
+                                classifier_config=ccfg, batch_transform=batch_transform,
+                                log=lambda s: None)
+    loader = make_loader(ds, batch_size, True, 0, win_len)
+    trainer._run_epoch(loader, True, max_batches=warm)     # compile + warm
+    jax.device_get(jax.tree_util.tree_leaves(trainer.state.params)[0])
+    t0 = time.perf_counter()
+    _, loss = trainer._run_epoch(loader, True, max_batches=steps)
+    jax.device_get(jax.tree_util.tree_leaves(trainer.state.params)[0])
+    elapsed = time.perf_counter() - t0
+    value = batch_size * steps / elapsed / max(1, jax.device_count())
+    return {
+        "metric": "vest_2s_windows_per_sec_per_chip_real_loop",
+        "value": round(value, 3),
+        "unit": "windows/s/chip",
+        "vs_baseline": None,
+        "device_augment": device_augment,
+        "channels": channels,
+        "batch_size": batch_size,
+        "steps": steps,
+        "backend": jax.default_backend(),
+        "final_fetch": round(float(loss), 6),
+    }
+
+
+def run_fusion_bench(batch_size: int = 64, steps: int = 10, window_s: float = 4.0,
+                     fs: int = 4125, warm: int = 3) -> dict:
+    """Two-branch PCG+ECG fusion train step, e2e through the Batcher int16 wire
+    (BASELINE.json config 2; reference classify/fusion.py:17-38, big_rnn:2:wav2vec)."""
+    import jax
+    import jax.numpy as jnp
+
+    from wav2vec_heart_sounds_tpu.data import Fragment, FragmentDataset
+    from wav2vec_heart_sounds_tpu.experiments.common import make_loader
+    from wav2vec_heart_sounds_tpu.models.build import build_two_branch
+    from wav2vec_heart_sounds_tpu.models.classifier import ClassifierConfig
+    from wav2vec_heart_sounds_tpu.train.classifier import SupervisedTrainer
+
+    win_len = int(round(window_s * fs))
+    n_items = batch_size * (steps + warm + 2)
+    rng = np.random.default_rng(0)
+    t = np.arange(win_len) / fs
+    pcg = np.sin(2 * np.pi * 90 * t) + 0.4 * np.sin(2 * np.pi * 250 * t)
+    ecg = np.sin(2 * np.pi * 1.2 * t)
+    frags = []
+    for i in range(n_items):
+        wave = np.stack([pcg + 0.05 * rng.normal(size=win_len),
+                         ecg + 0.02 * rng.normal(size=win_len)], axis=1)
+        wave /= np.max(np.abs(wave))
+        frags.append(Fragment(wave.astype(np.float32), i % 2, f"p{i}"))
+    ds = FragmentDataset(frags, fs=fs)
+
+    branch = lambda: ClassifierConfig(num_classes=2, num_channels=1, random_init=True,
+                                      fs=fs)
+    fusion, fusion_vars = build_two_branch(branch(), branch(), jax.random.key(0), win_len)
+    trainer = SupervisedTrainer(fusion, fusion_vars, optimizer_name="adamw", lr=1e-4,
+                                log=lambda s: None)
+    loader = make_loader(ds, batch_size, True, 0, win_len)
+    trainer._run_epoch(loader, True, max_batches=warm)
+    jax.device_get(jax.tree_util.tree_leaves(trainer.state.params)[0])
+    t0 = time.perf_counter()
+    _, loss = trainer._run_epoch(loader, True, max_batches=steps)
+    jax.device_get(jax.tree_util.tree_leaves(trainer.state.params)[0])
+    elapsed = time.perf_counter() - t0
+    value = batch_size * steps / elapsed / max(1, jax.device_count())
+    return {
+        "metric": "fusion_4s_windows_per_sec_per_chip_e2e",
+        "value": round(value, 3),
+        "unit": "windows/s/chip",
+        "vs_baseline": None,
+        "batch_size": batch_size,
+        "steps": steps,
+        "backend": jax.default_backend(),
+        "final_fetch": round(float(loss), 6),
+    }
+
+
 def run_bench(batch_size: int = 96, fs: int = 16000, window_s: float = 4.0,
               steps: int = 20, mode: str = "train", fs_in: int = 2000) -> dict:
     if mode == "gen":
         return run_gen_bench()
+    if mode == "gen-wavegrad":
+        return run_wavegrad_sample_bench()
+    if mode in ("gen-train", "gen-train-diffwave"):
+        return run_gen_train_bench("diffwave")
+    if mode == "gen-train-wavegrad":
+        return run_gen_train_bench("wavegrad")
+    if mode == "vest":
+        return run_vest_bench()
+    if mode == "fusion":
+        return run_fusion_bench()
     import jax
     import jax.numpy as jnp
 
@@ -311,8 +552,122 @@ def measure_reference_baseline(batch_size: int = 8, steps: int = 2) -> dict:
     return result
 
 
+def measure_reference_gen_baseline(batch_size: int = 4, steps: int = 2,
+                                   frames: int = 80) -> dict:
+    """Measure the reference-equivalent generative path with torch on this host.
+
+    Equivalent-architecture torch DiffWave (30 res layers / 64 channels / dilation cycle
+    10, mel+label conditioned — the reference generative/diffwave.py architecture,
+    re-implemented here rather than imported): one adam train step on L1 denoising loss
+    (reference generative/trainer.py:22-33) and 6-step fast sampling (reference
+    generative/samplers.py:41-66), timed per audio-second and written into
+    BASELINE_MEASURED.json next to the classifier numbers.
+    """
+    import math
+
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    C, n_mels, hop, layers, cycle, num_classes = 64, 80, 256, 30, 10, 2
+    sample_rate = 4000
+    n = hop * frames
+
+    class TorchDiffWave(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            j = torch.arange(64)
+            self.register_buffer("freq", 10.0 ** (j * 4.0 / 63.0))
+            self.fc1 = tnn.Linear(128, 512)
+            self.fc2 = tnn.Linear(512, 512)
+            self.label_emb = tnn.Embedding(num_classes, 512)
+            self.inp = tnn.Conv1d(1, C, 1)
+            self.up1 = tnn.ConvTranspose2d(1, 1, (3, 32), stride=(1, 16), padding=(1, 8))
+            self.up2 = tnn.ConvTranspose2d(1, 1, (3, 32), stride=(1, 16), padding=(1, 8))
+            self.step_proj = tnn.ModuleList([tnn.Linear(512, C) for _ in range(layers)])
+            self.dil = tnn.ModuleList([
+                tnn.Conv1d(C, 2 * C, 3, dilation=2 ** (i % cycle),
+                           padding=2 ** (i % cycle)) for i in range(layers)])
+            self.cond = tnn.ModuleList([tnn.Conv1d(n_mels, 2 * C, 1)
+                                        for _ in range(layers)])
+            self.out_res = tnn.ModuleList([tnn.Conv1d(C, 2 * C, 1)
+                                           for _ in range(layers)])
+            self.skip1 = tnn.Conv1d(C, C, 1)
+            self.skip2 = tnn.Conv1d(C, 1, 1)
+
+        def forward(self, audio, t, mel, label):
+            emb = torch.cat([torch.sin(t[:, None] * self.freq),
+                             torch.cos(t[:, None] * self.freq)], dim=1)
+            emb = F.silu(self.fc1(emb))
+            emb = F.silu(self.fc2(emb)) + self.label_emb(label)
+            cond = F.leaky_relu(self.up1(mel[:, None]), 0.4)
+            cond = F.leaky_relu(self.up2(cond), 0.4)[:, 0, :, :audio.shape[-1]]
+            x = F.relu(self.inp(audio[:, None]))
+            skip = 0.0
+            for i in range(layers):
+                h = self.dil[i](x + self.step_proj[i](emb)[:, :, None]) + self.cond[i](cond)
+                h = torch.tanh(h[:, :C]) * torch.sigmoid(h[:, C:])
+                h = self.out_res[i](h)
+                x = (x + h[:, :C]) / math.sqrt(2.0)
+                skip = skip + h[:, C:]
+            return self.skip2(F.relu(self.skip1(skip / math.sqrt(layers))))[:, 0]
+
+    torch.manual_seed(0)
+    model = TorchDiffWave()
+    opt = torch.optim.Adam(model.parameters(), lr=2e-4)
+    audio = torch.randn(batch_size, n) * 0.1
+    mel = torch.rand(batch_size, n_mels, frames)
+    label = torch.arange(batch_size) % num_classes
+    betas = np.linspace(1e-4, 0.05, 50)
+    alpha_cum = np.cumprod(1.0 - betas)
+
+    def train_step():
+        opt.zero_grad(set_to_none=True)
+        t = torch.randint(0, 50, (batch_size,))
+        scale = torch.from_numpy(alpha_cum).float()[t][:, None]
+        noise = torch.randn_like(audio)
+        noisy = torch.sqrt(scale) * audio + torch.sqrt(1 - scale) * noise
+        loss = F.l1_loss(model(noisy, t.float(), mel, label), noise)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        opt.step()
+
+    train_step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        train_step()
+    train_s = (time.perf_counter() - t0) / steps
+
+    fast_betas = np.asarray([0.0001, 0.001, 0.01, 0.05, 0.2, 0.5])
+    fa = 1.0 - fast_betas
+    fac = np.cumprod(fa)
+    with torch.no_grad():
+        x = torch.randn(batch_size, n)
+        t0 = time.perf_counter()
+        for i in range(len(fast_betas) - 1, -1, -1):
+            eps = model(x, torch.full((batch_size,), float(i)), mel, label)
+            x = (x - fast_betas[i] / math.sqrt(1 - fac[i]) * eps) / math.sqrt(fa[i])
+            if i > 0:
+                x = x + math.sqrt(fast_betas[i]) * torch.randn_like(x)
+        sample_s = time.perf_counter() - t0
+
+    audio_s = batch_size * n / sample_rate
+    result = json.loads(BASELINE_FILE.read_text()) if BASELINE_FILE.exists() else {}
+    result.update({
+        "reference_gen_audio_s_per_s": round(audio_s / sample_s, 4),
+        "reference_gen_train_audio_s_per_s_diffwave": round(audio_s / train_s, 4),
+        "gen_note": ("reference-equivalent torch DiffWave (30x64 res stack, mel+label "
+                     "conditioning) train step + 6-step fast sampling on this host's CPU; "
+                     "the reference repo publishes no numbers and no GPU exists here"),
+    })
+    BASELINE_FILE.write_text(json.dumps(result, indent=2))
+    return result
+
+
 if __name__ == "__main__":
-    if "--measure-baseline" in sys.argv:
+    if "--measure-baseline-gen" in sys.argv:
+        print(json.dumps(measure_reference_gen_baseline()))
+    elif "--measure-baseline" in sys.argv:
         print(json.dumps(measure_reference_baseline()))
     else:
         mode = "train"

@@ -200,3 +200,40 @@ def test_time_stretch_golden_values():
     for i, want in [(64, -1.2648731992412097), (1000, -1.001800175902185),
                     (2500, 0.08209151544986788)]:
         assert y[i] == pytest.approx(want, abs=1e-9)
+
+
+@pytest.mark.fast
+def test_multi_batch_augment_shape_and_channel_sharing():
+    """[B, T, C] device twin: shapes, bounds, and channel-shared gates/envelope."""
+    from wav2vec_heart_sounds_tpu.augment.jaxaug import (_augment_multi_batch,
+                                                         augment_multi_pcg_batch)
+
+    key = jax.random.key(0)
+    x = jax.random.normal(jax.random.key(1), (6, 2000, 4))
+    out = augment_multi_pcg_batch(key, x, 4125)
+    assert out.shape == x.shape
+    assert bool(jnp.isfinite(out).all())
+    assert float(jnp.abs(out).max()) <= 1.0 + 1e-5
+
+    # Identical channels stay identical through the wander-only path (shared gate and
+    # shared envelope across a sample's channels; noise disabled).
+    b, t, c = 3, 1500, 5
+    mono = jax.random.normal(jax.random.key(2), (b, t))
+    y = jnp.broadcast_to(mono[:, None, :], (b, c, t)).reshape(b * c, t)
+    z = _augment_multi_batch(jax.random.key(3), y, b, 4125, 0.0, 1.0)
+    z = np.asarray(z).reshape(b, c, t)
+    for ch in range(1, c):
+        np.testing.assert_allclose(z[:, ch], z[:, 0], atol=1e-6)
+
+
+@pytest.mark.fast
+def test_multi_augment_host_residual_stretch_only(monkeypatch):
+    """Host residue under --device-augment keeps only stretch/recorded-noise."""
+    from wav2vec_heart_sounds_tpu.data.vest import multi_augment_host_residual
+
+    wave = np.random.default_rng(0).normal(size=(3000, 4)).astype(np.float32)
+    out = multi_augment_host_residual(wave, 4125, AugmentConfig(),
+                                      rng=np.random.default_rng(1))
+    assert out.shape[1] == 4 and out.shape[0] <= 3000
+    assert np.isfinite(out).all()
+    assert np.abs(out).max() <= 1.0 + 1e-5

@@ -269,3 +269,30 @@ def test_classify_cinc_raw_wire(cinc_fixture, tmp_path):
     with pytest.raises(ValueError):
         cinc.run(str(cinc_fixture), str(cinc_fixture / "split.csv"), mode="pcg_ecg",
                  fs=FS_OUT, window_s=2.0, epochs=1, wire="raw", encoder_config=TINY)
+
+
+@pytest.mark.fast
+def test_classify_vest_device_augment(tmp_path):
+    """--device-augment: host residue (stretch only) + batched on-device noise/wander."""
+    from wav2vec_heart_sounds_tpu.experiments import multichannel
+
+    d = tmp_path / "vest"
+    d.mkdir()
+    fs = 2000
+    sig = np.stack([tone(80 + 10 * c, fs, 6.0) for c in range(9)], axis=1)
+    for pat in ("patientA", "patientB"):
+        wavfile.write(str(d / f"{pat}_rec.wav"), fs, (sig * 20000).astype(np.int16))
+    pd.DataFrame([
+        {"patient": "patientA", "label": 1, "split": "train"},
+        {"patient": "patientB", "label": -1, "split": "train"},
+        {"patient": "patientA", "label": 1, "split": "valid"},
+        {"patient": "patientB", "label": -1, "split": "test"},
+    ]).to_csv(d / "split.csv", index=False)
+
+    record = multichannel.run(
+        str(d), str(d / "split.csv"), channels=[1, 2, 3], fs=FS_OUT, window_s=2.0,
+        epochs=1, augment=True, device_augment=True, random_init=True, lora=False,
+        fit_svm=False, batch_size=2, max_batches=1, encoder_config=TINY,
+    )
+    assert "mlp" in record
+    assert 0.0 <= record["mlp"]["fragment"]["accuracy"] <= 1.0

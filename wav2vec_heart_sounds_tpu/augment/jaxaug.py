@@ -103,6 +103,51 @@ def parametric_eq(key: jax.Array, x: jnp.ndarray, fs: float, low: float, high: f
     return _normalise(_normalise(coloured) / 50.0 + _normalise(x))
 
 
+def _apply_shared(key: jax.Array, y: jnp.ndarray, transformed: jnp.ndarray, prob: float,
+                  b: int) -> jnp.ndarray:
+    """Bernoulli gate drawn per original sample, shared across its channel rows."""
+    c = y.shape[0] // b
+    mask = (jax.random.uniform(key, (b, 1, 1)) < prob).astype(y.dtype)
+    mask = jnp.broadcast_to(mask, (b, c, 1)).reshape(b * c, 1)
+    return _normalise(mask * transformed + (1.0 - mask) * y)
+
+
+@partial(jax.jit, static_argnames=("b", "fs", "prob_noise", "prob_wander"))
+def _augment_multi_batch(key: jax.Array, y: jnp.ndarray, b: int, fs: int,
+                         prob_noise: float, prob_wander: float) -> jnp.ndarray:
+    """Channel-flattened [B*C, T] core of :func:`augment_multi_pcg_batch`."""
+    y = _normalise(y)
+    keys = jax.random.split(key, 6)
+    y = _apply_shared(keys[0], y, add_white_noise(keys[1], y), prob_noise / 4, b)
+    c = y.shape[0] // b
+    t = jnp.arange(y.shape[-1], dtype=y.dtype) / fs
+    mod = 1.0 + _two_band_sines(keys[2], b, t, 0.01, 0.24)    # one envelope per sample
+    wandered = (y.reshape(b, c, -1) * mod[:, None, :]).reshape(b * c, -1)
+    y = _apply_shared(keys[3], y, wandered, prob_wander, b)
+    y = _apply_shared(keys[4], y, add_white_noise(keys[5], y), prob_noise / 4, b)
+    return y
+
+
+def augment_multi_pcg_batch(key: jax.Array, x: jnp.ndarray, fs: int,
+                            cfg: AugmentConfig | None = None) -> jnp.ndarray:
+    """Device twin of the vest pipeline (:func:`..augment.pipelines.augment_multi_pcg`)
+    for a multichannel batch ``[B, T, C]``.
+
+    The channel-shared transforms — white noise gates and the sinusoidal wander envelope,
+    applied identically across mics so inter-channel phase is preserved (reference
+    src/mpcg_wav2vec/augment/pipelines.py:117-148 semantics) — vectorise over channels
+    here; micro time-stretch and recorded-noise mixing have no exact tensor form and stay
+    on the host path (:func:`..data.vest.multi_augment_host_residual`), exactly as the
+    reference scopes torch-side augmentation (torchaug.py:9-11).
+    """
+    from .pipelines import MULTI_PROB_NOISE, MULTI_PROB_WANDER
+
+    b, t, c = x.shape
+    y = jnp.swapaxes(x, 1, 2).reshape(b * c, t)
+    y = _augment_multi_batch(key, y, b, fs, MULTI_PROB_NOISE, MULTI_PROB_WANDER)
+    return jnp.swapaxes(y.reshape(b, c, t), 1, 2)
+
+
 @partial(jax.jit, static_argnames=("fs", "prob_noise", "prob_wandering_volume", "prob_banding"))
 def _augment_pcg_batch(key: jax.Array, x: jnp.ndarray, fs: int, prob_noise: float,
                        prob_wandering_volume: float, prob_banding: float) -> jnp.ndarray:

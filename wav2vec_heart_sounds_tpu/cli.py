@@ -218,6 +218,9 @@ def classify_cinc(**kwargs):
 @click.option("--freeze-encoder", is_flag=True, default=False)
 @click.option("--fit-svm/--no-svm", default=True)
 @click.option("--loss", type=click.Choice(["ce", "contrastive-focal"]), default="ce")
+@click.option("--device-augment", is_flag=True, default=False,
+              help="run the channel-shared augmentations (noise, wander envelope) "
+                   "batched on device; host keeps only time-stretch/recorded noise")
 @click.option("--fold", type=int, default=1)
 @click.option("--max-batches", type=int, default=None)
 @click.option("--results-json", default=None)

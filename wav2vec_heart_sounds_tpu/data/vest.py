@@ -116,6 +116,33 @@ def multi_augment(wave: np.ndarray, fs: int, cfg: AugmentConfig,
     return stack_min_length(augmented)
 
 
+def multi_augment_host_residual(wave: np.ndarray, fs: int, cfg: AugmentConfig,
+                                rng: np.random.Generator | None = None) -> np.ndarray:
+    """Host-side residue of the vest pipeline under ``--device-augment``.
+
+    Only the transforms with no tensor form run here — micro time-stretch (shared rate
+    across mics) and recorded-noise mixing — exactly the subset the reference keeps on
+    the NumPy side (src/mpcg_wav2vec/augment/torchaug.py:9-11). White noise and the
+    shared wander envelope run batched on device
+    (:func:`..augment.jaxaug.augment_multi_pcg_batch`) inside the jitted train step.
+    """
+    from ..augment import pipelines as PL
+    from ..augment import primitives as P
+    from ..augment.noise_sources import pcg_noise
+    from ..signal.normalize import abs_max_normalise
+
+    rng = P.default_rng(rng)
+    chans = [abs_max_normalise(c.copy()) for c in wave.T]
+    if PL._chance(PL.MULTI_PROB_TIME_WARP, rng):
+        rate = P.randfloat(*PL.MULTI_STRETCH, rng=rng)
+        chans = [abs_max_normalise(P.time_stretch(c, fs, rate, keep_length=True))
+                 for c in chans]
+    if PL._chance(PL.MULTI_PROB_REAL_NOISE, rng) and cfg.ephnogram_dir:
+        shared = pcg_noise(fs, len(chans[0]), cfg.ephnogram_dir, rng)
+        chans = [abs_max_normalise(c + shared) for c in chans]
+    return stack_min_length(chans)
+
+
 def vest_dataset(
     data_dir: str,
     csv_path: str,
@@ -128,9 +155,11 @@ def vest_dataset(
     augment_num: int = 0,
     augment_config: AugmentConfig | None = None,
     channel: int = -1,
+    device_augment: bool = False,
 ) -> FragmentDataset:
     fragments = build_fragments(data_dir, csv_path, subset, fs_out=fs_out, window=window,
                                 channels=channels, fold=fold)
-    augment_fn = partial(multi_augment, cfg=augment_config or AugmentConfig())
+    host_fn = multi_augment_host_residual if device_augment else multi_augment
+    augment_fn = partial(host_fn, cfg=augment_config or AugmentConfig())
     return FragmentDataset(fragments, fs=fs_out, augment_num=augment_num,
                            augment_fn=augment_fn, channel=channel)

@@ -47,6 +47,7 @@ def run(
     run_label: str = "",
     mesh=None,
     seed: int = 0,
+    device_augment: bool = False,
     encoder_config=None,   # test/CI hook: substitute a small Wav2Vec2Config
 ) -> dict:
     channels = channels or [1, 2, 3, 4, 5, 6]
@@ -65,7 +66,7 @@ def run(
     def dataset(subset, augment_num):
         return vest_dataset(data_dir, csv_path, subset, fs_out=fs, window=window,
                             channels=channels, fold=fold, augment_num=augment_num,
-                            augment_config=cfg)
+                            augment_config=cfg, device_augment=device_augment)
 
     train_ds = dataset("train", aug_num)
     valid_ds = dataset("valid", 0)
@@ -74,8 +75,16 @@ def run(
     criterion = (ContrastiveFocalConfig(num_classes=2,
                                         feature_dim=ccfg.encoder.hidden_size)
                  if loss == "contrastive-focal" else None)
+    batch_transform = None
+    if device_augment and augment:
+        from functools import partial as _partial
+
+        from ..augment.jaxaug import augment_multi_pcg_batch
+
+        batch_transform = _partial(augment_multi_pcg_batch, fs=fs, cfg=cfg)
     trainer = SupervisedTrainer(model, variables, optimizer_name=optimizer, lr=lr,
                                 criterion=criterion, classifier_config=ccfg,
+                                batch_transform=batch_transform,
                                 mesh=mesh, seed=seed, log_dir=log_dir)
     trainer.fit(make_loader(train_ds, batch_size, True, seed, win_len),
                 make_loader(valid_ds, batch_size, False, seed, win_len),
