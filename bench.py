@@ -113,11 +113,15 @@ def run_wavegrad_sample_bench(batch_size: int = 8, steps: int = 3,
 
     audio_seconds = batch_size * steps * (cfg.hop_length * frames / sr)
     value = audio_seconds / elapsed
+    baseline = None
+    if BASELINE_FILE.exists():
+        baseline = json.loads(BASELINE_FILE.read_text()).get(
+            "reference_gen_audio_s_per_s_wavegrad")
     return {
         "metric": "wavegrad_sampling_audio_s_per_s",
         "value": round(value, 3),
         "unit": "audio-s/s",
-        "vs_baseline": None,
+        "vs_baseline": round(value / baseline, 3) if baseline else None,
         "num_steps": num_steps,
         "batch_size": batch_size,
         "backend": jax.default_backend(),
@@ -664,8 +668,171 @@ def measure_reference_gen_baseline(batch_size: int = 4, steps: int = 2,
     return result
 
 
+def measure_reference_wavegrad_baseline(batch_size: int = 2, steps: int = 2,
+                                        frames: int = 80) -> dict:
+    """Torch-CPU WaveGrad-equivalent baseline (same protocol as the DiffWave one).
+
+    Mirrors this repo's `models/diffusion/wavegrad.py` (itself the reference
+    generative/wavegrad.py:19-155 architecture): FiLM'd U-net with down factors
+    2/2/3/5, continuous-noise-level training on L1 (reference trainer semantics) and a
+    6-point subsampled reverse schedule, timed per audio-second.
+    """
+    import math
+
+    import torch
+    import torch.nn as tnn
+    import torch.nn.functional as F
+
+    n_mels, hop, num_classes, label_dim, sample_rate = 128, 300, 2, 32, 4000
+    n = hop * frames
+    DOWN = ((128, 2), (128, 2), (256, 3), (512, 5))
+    FILM = ((32, 128), (128, 128), (128, 256), (256, 512), (512, 512))
+    UP = ((512, 5, (1, 2, 1, 2)), (512, 5, (1, 2, 1, 2)), (256, 3, (1, 2, 4, 8)),
+          (128, 2, (1, 2, 4, 8)), (128, 2, (1, 2, 4, 8)))
+
+    def conv(cin, cout, k, dil=1):
+        return tnn.Conv1d(cin, cout, k, dilation=dil, padding=dil * (k - 1) // 2)
+
+    def resize(x, length):
+        return F.interpolate(x, size=length, mode="nearest")
+
+    class FiLM(tnn.Module):
+        def __init__(self, cin, cout):
+            super().__init__()
+            self.emb = tnn.Embedding(num_classes, label_dim)
+            self.proj = tnn.Linear(label_dim, cin)
+            self.inp = conv(cin, cin, 3)
+            self.out = conv(cin, 2 * cout, 3)
+            half = cin // 2
+            self.register_buffer("freq",
+                                 torch.exp(-math.log(1e4) * torch.arange(half) / half))
+
+        def forward(self, x, level, label):
+            x = self.inp(x + self.proj(self.emb(label))[:, :, None])
+            enc = level[:, None] * self.freq[None, :]
+            enc = torch.cat([torch.sin(enc), torch.cos(enc)], dim=1)
+            x = F.leaky_relu(x, 0.2) + enc[:, :, None]
+            return self.out(x).chunk(2, dim=1)
+
+    class DBlock(tnn.Module):
+        def __init__(self, cin, cout, factor):
+            super().__init__()
+            self.factor = factor
+            self.res = conv(cin, cout, 1)
+            self.convs = tnn.ModuleList([conv(cin if i == 0 else cout, cout, 3, d)
+                                         for i, d in enumerate((1, 2, 4))])
+
+        def forward(self, x):
+            size = x.shape[-1] // self.factor
+            residual = resize(self.res(x), size)
+            x = resize(x, size)
+            for c in self.convs:
+                x = c(F.leaky_relu(x, 0.2))
+            return x + residual
+
+    class UBlock(tnn.Module):
+        def __init__(self, cin, cout, factor, dils):
+            super().__init__()
+            self.factor = factor
+            self.skip = conv(cin, cout, 1)
+            self.a0 = conv(cin, cout, 3, dils[0])
+            self.a1 = conv(cout, cout, 3, dils[1])
+            self.b0 = conv(cout, cout, 3, dils[2])
+            self.b1 = conv(cout, cout, 3, dils[3])
+
+        def forward(self, x, shift, scale):
+            size = x.shape[-1] * self.factor
+            skip = self.skip(resize(x, size))
+            h = self.a0(resize(F.leaky_relu(x, 0.2), size))
+            h = self.a1(F.leaky_relu(shift + scale * h, 0.2))
+            x = skip + h
+            h = self.b0(F.leaky_relu(shift + scale * x, 0.2))
+            h = self.b1(F.leaky_relu(shift + scale * h, 0.2))
+            return x + h
+
+    class TorchWaveGrad(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.init_conv = conv(1, 32, 5)
+            self.down = tnn.ModuleList(
+                [DBlock(32 if i == 0 else DOWN[i - 1][0], ch, f)
+                 for i, (ch, f) in enumerate(DOWN)])
+            self.film = tnn.ModuleList([FiLM(cin, cout) for cin, cout in FILM])
+            self.first_conv = conv(n_mels, 768, 3)
+            up_in = (768, 512, 512, 256, 128)
+            self.up = tnn.ModuleList([UBlock(up_in[i], ch, f, d)
+                                      for i, (ch, f, d) in enumerate(UP)])
+            self.last_conv = conv(128, 1, 3)
+
+        def forward(self, audio, mel, level, label):
+            x = self.init_conv(audio[:, None])
+            stages = [x]
+            for d in self.down:
+                x = d(x)
+                stages.append(x)
+            mods = [f(s, level, label) for f, s in zip(self.film, stages)]
+            h = self.first_conv(mel[:, :, :audio.shape[-1] // hop])
+            for u, (shift, scale) in zip(self.up, reversed(mods)):
+                h = u(h, shift, scale)
+            return self.last_conv(h)[:, 0]
+
+    torch.manual_seed(0)
+    model = TorchWaveGrad()
+    opt = torch.optim.Adam(model.parameters(), lr=2e-4)
+    audio = torch.randn(batch_size, n) * 0.1
+    mel = torch.rand(batch_size, n_mels, frames)
+    label = torch.arange(batch_size) % num_classes
+    betas = np.linspace(1e-6, 0.01, 1000)
+    alpha_cum = np.cumprod(1.0 - betas)
+    levels = np.concatenate([[1.0], np.sqrt(alpha_cum)])
+
+    def train_step():
+        opt.zero_grad(set_to_none=True)
+        s = torch.randint(1, 1000, (batch_size,))
+        lo = torch.from_numpy(levels).float()[s - 1]
+        hi = torch.from_numpy(levels).float()[s]
+        scale = (lo + torch.rand(batch_size) * (hi - lo))[:, None]
+        noise = torch.randn_like(audio)
+        noisy = scale * audio + torch.sqrt(1.0 - scale ** 2) * noise
+        loss = F.l1_loss(model(noisy, mel, scale[:, 0], label), noise)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        opt.step()
+
+    train_step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        train_step()
+    train_s = (time.perf_counter() - t0) / steps
+
+    order = np.unique(np.linspace(0, 999, 6).round().astype(int))[::-1].copy()
+    alpha = 1.0 - betas
+    with torch.no_grad():
+        x = torch.randn(batch_size, n)
+        t0 = time.perf_counter()
+        for i in order:
+            lvl = torch.full((batch_size,), float(np.sqrt(alpha_cum[i])))
+            eps = model(x, mel, lvl, label)
+            x = (x - (1 - alpha[i]) / math.sqrt(1 - alpha_cum[i]) * eps) \
+                / math.sqrt(alpha[i])
+            if i > 0:
+                x = x + math.sqrt(betas[i]) * torch.randn_like(x)
+        sample_s = time.perf_counter() - t0
+
+    audio_s = batch_size * n / sample_rate
+    result = json.loads(BASELINE_FILE.read_text()) if BASELINE_FILE.exists() else {}
+    result.update({
+        "reference_gen_audio_s_per_s_wavegrad": round(audio_s / sample_s, 4),
+        "reference_gen_train_audio_s_per_s_wavegrad": round(audio_s / train_s, 4),
+    })
+    BASELINE_FILE.write_text(json.dumps(result, indent=2))
+    return result
+
+
 if __name__ == "__main__":
-    if "--measure-baseline-gen" in sys.argv:
+    if "--measure-baseline-wavegrad" in sys.argv:
+        print(json.dumps(measure_reference_wavegrad_baseline()))
+    elif "--measure-baseline-gen" in sys.argv:
         print(json.dumps(measure_reference_gen_baseline()))
     elif "--measure-baseline" in sys.argv:
         print(json.dumps(measure_reference_baseline()))

@@ -190,7 +190,7 @@ def _flash_fwd(q, k, v, seed, dropout_rate, t, interpret, layout="bhtd"):
         partial(_fwd_kernel, t=t_eff, scale=scale, rate=dropout_rate, bthd=bthd),
         # Statics baked into the kernel closure are invisible in the payload-stripped
         # StableHLO the AOT cache keys on; the name pins them (utils/aot.py).
-        name=f"flash_fwd_t{t_eff}_r{dropout_rate}_{layout}",
+        name=f"flash_fwd_t{t_eff}_r{dropout_rate}_{layout}_hb{hb}",
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, h // hb),
@@ -221,7 +221,7 @@ def _flash_bwd(dropout_rate, t, interpret, layout, residuals, g):
     shape = jax.ShapeDtypeStruct((b, tp, h, d) if bthd else (b, h, tp, d), q.dtype)
     dq, dk, dv = pl.pallas_call(
         partial(_bwd_kernel, t=t_eff, scale=scale, rate=dropout_rate, bthd=bthd),
-        name=f"flash_bwd_t{t_eff}_r{dropout_rate}_{layout}",
+        name=f"flash_bwd_t{t_eff}_r{dropout_rate}_{layout}_hb{hb}",
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, h // hb),
@@ -275,7 +275,7 @@ def _packed_fwd(qkv, seed, dropout_rate, t, interpret):
     hb = _head_block(h, tp)
     out = pl.pallas_call(
         partial(_fwd_kernel, t=t_eff, scale=scale, rate=dropout_rate),
-        name=f"flash_fwd_qkv_t{t_eff}_r{dropout_rate}",
+        name=f"flash_fwd_qkv_t{t_eff}_r{dropout_rate}_hb{hb}",
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, h // hb),
@@ -305,7 +305,7 @@ def _packed_bwd(dropout_rate, t, interpret, residuals, g):
     shape = jax.ShapeDtypeStruct((b, h, tp, d), qkv.dtype)
     dq, dk, dv = pl.pallas_call(
         partial(_bwd_kernel, t=t_eff, scale=scale, rate=dropout_rate),
-        name=f"flash_bwd_qkv_t{t_eff}_r{dropout_rate}",
+        name=f"flash_bwd_qkv_t{t_eff}_r{dropout_rate}_hb{hb}",
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, h // hb),

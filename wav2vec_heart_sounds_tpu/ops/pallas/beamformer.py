@@ -13,13 +13,17 @@ A custom VJP supplies analytic gradients the same way:
     dd[t] = g[t]/s[t] * sum_k u'[t,k] (x[t+k] - y[t]),   u' = -sinc'(c_k - d[t]) w_k
     dx[p] = sum_k g[p-k] u[p-k,k] / s[p-k]
 
-Shapes stay whole-array in VMEM (vest workloads: B<=16, T ~8k -> ~0.5 MB per operand); a size
-guard falls back to the XLA path for anything larger. Tests run the kernel in interpreter
-mode on CPU against the XLA reference and ``jax.grad``.
+The grid partitions the batch into row blocks (full T per program): Mosaic's stack for the
+41 statically unrolled sweeps is ~180 bytes/element (measured 22.8 MB for a whole-array
+[16, 8250] block — over the 16 MB scoped-vmem default), so 8 rows at vest's T~8k keeps the
+working set ~12 MB. A time-length guard falls back to the XLA path when one row block would
+still blow VMEM. Tests run the kernel in interpreter mode on CPU against the XLA reference
+and ``jax.grad``.
 """
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -28,7 +32,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-VMEM_GUARD_ELEMS = 1 << 20  # fall back to XLA above ~1M B*T elements
+VMEM_GUARD_T = 32768  # fall back to XLA when rows are longer than this (~44k is the cliff)
 
 
 def _sinc(z):
@@ -97,14 +101,25 @@ def _grad_x_kernel(dpad_ref, gpad_ref, spad_ref, out_ref, *, K: int,
 
 
 def _call(kernel, out_shape, *args, interpret, name):
-    return pl.pallas_call(
+    b, t_out = out_shape
+    rb = min(b, int(os.environ.get("W2VHS_BF_ROWS", "8")))
+    if b % rb:
+        pad = rb - b % rb
+        args = tuple(jnp.pad(a, [(0, pad), (0, 0)]) for a in args)
+        b = b + pad
+    widths = [a.shape[1] for a in args]
+    out = pl.pallas_call(
         kernel,
-        name=name,
-        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM) for _ in args],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        name=f"{name}_rb{rb}",   # rb pins the block size into the AOT cache key
+        out_shape=jax.ShapeDtypeStruct((b, t_out), jnp.float32),
+        grid=(b // rb,),
+        in_specs=[pl.BlockSpec((rb, w), lambda i: (i, 0), memory_space=pltpu.VMEM)
+                  for w in widths],
+        out_specs=pl.BlockSpec((rb, t_out), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*args)
+    return out[:out_shape[0]]
 
 
 def _norm_sum(xpad, delays, K, window):
@@ -191,7 +206,7 @@ def delay_channel(x: jnp.ndarray, delays: jnp.ndarray, kernel_size: int,
                   window: np.ndarray) -> jnp.ndarray:
     """Dispatch: fused Pallas kernel on TPU within the VMEM guard, XLA otherwise."""
     use_pallas = (jax.default_backend() != "cpu"
-                  and x.shape[0] * x.shape[1] <= VMEM_GUARD_ELEMS)
+                  and x.shape[1] <= VMEM_GUARD_T)
     if use_pallas:
         return sinc_delay(x, delays, kernel_size, tuple(float(w) for w in window))
     return delay_channel_reference(x, delays, kernel_size,

@@ -24,8 +24,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _block_rows(n: int, c: int) -> int:
     """Row-block size under a ~4 MB VMEM budget (~12 bytes/element live: in, out, bits,
-    f32 intermediates)."""
-    budget = 4 * 1024 * 1024
+    f32 intermediates). W2VHS_DROPOUT_VMEM_MB overrides for block-size A/B sweeps."""
+    import os
+
+    budget = int(os.environ.get("W2VHS_DROPOUT_VMEM_MB", "4")) * 1024 * 1024
     rows = max(8, min(n, budget // max(1, c * 12)))
     return max(8, (rows // 8) * 8)
 
@@ -47,7 +49,7 @@ def _run(x2: jnp.ndarray, seed_arr: jnp.ndarray, rate: float,
         partial(_kernel, rate=rate),
         # rate lives only in the kernel closure — the name pins it for the AOT cache key
         # (utils/aot.py strips backend_config payloads).
-        name=f"prng_dropout_r{rate}",
+        name=f"prng_dropout_r{rate}_rows{rows}",
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),

@@ -102,7 +102,7 @@ def _fwd(x, w, b, seed, rate, interpret):
         partial(_fwd_kernel, rate=rate),
         # rate lives only in the kernel closure — the name pins it for the AOT cache key
         # (utils/aot.py strips backend_config payloads).
-        name=f"ffn_act_fwd_r{rate}",
+        name=f"ffn_act_fwd_r{rate}_rows{rows}",
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(-(-n // rows),),
@@ -124,7 +124,7 @@ def _bwd(rate, interpret, residuals, g):
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     dpre, dbp = pl.pallas_call(
         partial(_bwd_kernel, rate=rate, n=n),
-        name=f"ffn_act_bwd_r{rate}",
+        name=f"ffn_act_bwd_r{rate}_rows{rows}",
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),

@@ -28,8 +28,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _block_rows(n: int, c: int) -> int:
-    """Row block under a ~6 MB VMEM budget (~28 bytes/element live across h/x/s/out + f32)."""
-    budget = 6 * 1024 * 1024
+    """Row block under a ~6 MB VMEM budget (~28 bytes/element live across h/x/s/out + f32).
+
+    W2VHS_RESID_VMEM_MB overrides for block-size A/B sweeps."""
+    import os
+
+    budget = int(os.environ.get("W2VHS_RESID_VMEM_MB", "6")) * 1024 * 1024
     rows = max(8, min(n, budget // max(1, c * 28)))
     return max(8, (rows // 8) * 8)
 
@@ -120,7 +124,7 @@ def _fwd(h, x, scale, bias, seed, rate, eps, interpret):
         partial(_fwd_kernel, rate=rate, eps=eps),
         # rate/eps live only in the kernel closure — the name pins them for the AOT
         # cache key (utils/aot.py strips backend_config payloads).
-        name=f"resid_fwd_r{rate}_e{eps}",
+        name=f"resid_fwd_r{rate}_e{eps}_rows{rows}",
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),
@@ -145,7 +149,7 @@ def _bwd(rate, eps, interpret, residuals, g):
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     dh, dx, dscp, dbip = pl.pallas_call(
         partial(_bwd_kernel, rate=rate, eps=eps, n=n),
-        name=f"resid_bwd_r{rate}_e{eps}",
+        name=f"resid_bwd_r{rate}_e{eps}_rows{rows}",
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),
