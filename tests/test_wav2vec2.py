@@ -69,6 +69,25 @@ def test_beamformer_collapses_channels():
     assert bool((out >= 0).all())     # sum of squares
 
 
+@pytest.mark.fast
+def test_chunked_attention_matches_flax_default():
+    """Delay-predictor attention_fn: exact row-block softmax, fwd + grad parity."""
+    from flax.linen.attention import dot_product_attention
+
+    from wav2vec_heart_sounds_tpu.models.beamformer import _chunked_attention
+
+    rng = np.random.default_rng(0)
+    q, k, v = (jnp.asarray(rng.normal(size=(2, 300, 4, 8)), jnp.float32)
+               for _ in range(3))
+    ref = dot_product_attention(q, k, v)
+    out = _chunked_attention(q, k, v, chunk=128)   # 300 -> 3 chunks, ragged tail
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    g_chunk = jax.grad(lambda a: jnp.sum(jnp.cos(_chunked_attention(a, k, v, chunk=128))))(q)
+    g_ref = jax.grad(lambda a: jnp.sum(jnp.cos(dot_product_attention(a, k, v))))(q)
+    np.testing.assert_allclose(np.asarray(g_chunk), np.asarray(g_ref), atol=2e-5)
+
+
 def test_trainable_mask_policies():
     enc = Wav2Vec2Config.tiny()
     x = jnp.zeros((1, 1000))

@@ -13,6 +13,7 @@ fusing the sinc build with the contraction is the follow-on optimisation; see op
 
 from __future__ import annotations
 
+import os
 from typing import Any
 
 import flax.linen as nn
@@ -21,6 +22,44 @@ import jax.numpy as jnp
 import numpy as np
 
 from .wav2vec2 import FastLayerNorm
+
+
+def _mem_efficient_attention(query, key, value, **kwargs):
+    """Drop-in for flax's ``dot_product_attention`` that never materialises [B, H, T, T].
+
+    The delay predictor attends over every waveform sample (vest: T ~8k -> a 8.2 GB probs
+    tensor per direction with the naive einsum — the train step OOM'd 15.75 GB HBM; the
+    reference leans on torch SDPA's memory-efficient kernel for the same reason). On TPU
+    this dispatches to the kv-blocked flash kernel (``ops/pallas/flash_kv.py``:
+    probabilities live only in VMEM — the query-chunked XLA fallback below still moved
+    ~10^2 GB/step through HBM and measured 574 ms of the vest step). Elsewhere it runs
+    the exact chunked-softmax scan.
+    """
+    if jax.default_backend() != "cpu" and os.environ.get("W2VHS_NO_FLASHKV") != "1":
+        from ..ops.pallas.flash_kv import flash_attention_kv
+
+        return flash_attention_kv(query, key, value)
+    return _chunked_attention(query, key, value)
+
+
+def _chunked_attention(query, key, value, chunk: int = 512, **unused_kwargs):
+    """Exact row-block-softmax fallback: a rematerialised ``lax.scan`` over query chunks
+    keeps the live score tensor at [B, H, chunk, T] in forward AND backward."""
+    b, t, h, d = query.shape
+    scale = 1.0 / np.sqrt(d).astype(np.float32)
+    c = min(chunk, t)
+    n = -(-t // c)
+    qp = jnp.pad(query, ((0, 0), (0, n * c - t), (0, 0), (0, 0)))
+    qc = jnp.moveaxis(qp.reshape(b, n, c, h, d), 1, 0)            # [n, B, c, H, d]
+
+    @jax.checkpoint
+    def body(carry, qi):
+        s = jnp.einsum("bqhd,bkhd->bhqk", qi * scale, key).astype(jnp.float32)
+        p = jax.nn.softmax(s, axis=-1).astype(value.dtype)
+        return carry, jnp.einsum("bhqk,bkhd->bqhd", p, value)
+
+    _, out = jax.lax.scan(body, None, qc)
+    return jnp.moveaxis(out, 0, 1).reshape(b, n * c, h, d)[:, :t]
 
 
 class DelayPredictor(nn.Module):
@@ -40,6 +79,7 @@ class DelayPredictor(nn.Module):
             # Post-norm transformer encoder layer (torch TransformerEncoderLayer layout).
             attn = nn.MultiHeadDotProductAttention(
                 num_heads=self.num_heads, dtype=self.dtype,
+                attention_fn=_mem_efficient_attention,
                 name=f"attn_{i}")(h, h, deterministic=deterministic)
             h = FastLayerNorm(dtype=self.dtype, name=f"norm1_{i}")(h + attn)
             f = nn.Dense(self.ffn, dtype=self.dtype, name=f"ff1_{i}")(h.astype(self.dtype))
