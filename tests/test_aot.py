@@ -33,10 +33,10 @@ def test_key_tracks_program_and_shapes():
     x8 = jnp.arange(8.0)
     x16 = jnp.arange(16.0)
     kind = getattr(jax.devices()[0], "device_kind", "cpu")
-    kf = _key(f.lower(x8), "cpu", kind)
-    assert kf != _key(g.lower(x8), "cpu", kind)      # different program
-    assert kf != _key(f.lower(x16), "cpu", kind)     # different shape
-    assert kf == _key(jax.jit(lambda x: x * 2).lower(x8), "cpu", kind)  # stable
+    kf = _key(f.lower(x8).as_text(), "cpu", kind)
+    assert kf != _key(g.lower(x8).as_text(), "cpu", kind)      # different program
+    assert kf != _key(f.lower(x16).as_text(), "cpu", kind)     # different shape
+    assert kf == _key(jax.jit(lambda x: x * 2).lower(x8).as_text(), "cpu", kind)  # stable
 
 
 def test_fallback_on_unlowerable():

@@ -220,7 +220,7 @@ def test_multi_batch_augment_shape_and_channel_sharing():
     b, t, c = 3, 1500, 5
     mono = jax.random.normal(jax.random.key(2), (b, t))
     y = jnp.broadcast_to(mono[:, None, :], (b, c, t)).reshape(b * c, t)
-    z = _augment_multi_batch(jax.random.key(3), y, b, 4125, 0.0, 1.0)
+    z = _augment_multi_batch(jax.random.key(3), y, b, 4125, 0.0, 1.0, 0.0)
     z = np.asarray(z).reshape(b, c, t)
     for ch in range(1, c):
         np.testing.assert_allclose(z[:, ch], z[:, 0], atol=1e-6)
@@ -228,7 +228,7 @@ def test_multi_batch_augment_shape_and_channel_sharing():
 
 @pytest.mark.fast
 def test_multi_augment_host_residual_stretch_only(monkeypatch):
-    """Host residue under --device-augment keeps only stretch/recorded-noise."""
+    """Host residue under --device-augment keeps only noise/stretch/recorded-noise."""
     from wav2vec_heart_sounds_tpu.data.vest import multi_augment_host_residual
 
     wave = np.random.default_rng(0).normal(size=(3000, 4)).astype(np.float32)
@@ -237,3 +237,58 @@ def test_multi_augment_host_residual_stretch_only(monkeypatch):
     assert out.shape[1] == 4 and out.shape[0] <= 3000
     assert np.isfinite(out).all()
     assert np.abs(out).max() <= 1.0 + 1e-5
+
+
+@pytest.mark.fast
+def test_batch_augment_row_mask_keeps_originals_bit_identical():
+    """row_mask=0 rows (pristine originals) pass through untouched — no renormalise."""
+    from wav2vec_heart_sounds_tpu.augment.jaxaug import (augment_multi_pcg_batch,
+                                                         augment_pcg_batch)
+
+    key = jax.random.key(5)
+    x = 0.5 * jax.random.normal(jax.random.key(6), (6, 1500))
+    mask = jnp.asarray([1, 0, 1, 0, 0, 1], jnp.float32)
+    cfg = AugmentConfig(prob_noise=1.0, prob_wandering_volume=1.0, prob_banding=0.0)
+    out = augment_pcg_batch(key, x, 2000, cfg, row_mask=mask)
+    for i, m in enumerate([1, 0, 1, 0, 0, 1]):
+        same = bool(jnp.array_equal(out[i], x[i]))
+        assert same == (m == 0), f"row {i}: mask={m}, identical={same}"
+
+    xm = 0.5 * jax.random.normal(jax.random.key(7), (4, 1200, 3))
+    maskm = jnp.asarray([0, 1, 0, 1], jnp.float32)
+    outm = augment_multi_pcg_batch(jax.random.key(8), xm, 4125, row_mask=maskm)
+    assert bool(jnp.array_equal(outm[0], xm[0])) and bool(jnp.array_equal(outm[2], xm[2]))
+
+
+@pytest.mark.fast
+def test_batch_augment_pristine_prob_fraction():
+    """pristine_prob draws its own participation (per-epoch raw-wire policy)."""
+    from wav2vec_heart_sounds_tpu.augment.jaxaug import augment_pcg_batch
+
+    x = 0.5 * jax.random.normal(jax.random.key(9), (256, 400))
+    cfg = AugmentConfig(prob_noise=1.0, prob_wandering_volume=1.0, prob_banding=0.0)
+    out = augment_pcg_batch(jax.random.key(10), x, 2000, cfg,
+                            row_mask=jnp.zeros((256,)), pristine_prob=1.0 / 16.0)
+    untouched = sum(bool(jnp.array_equal(out[i], x[i])) for i in range(256))
+    # Binomial(256, 1/16): mean 16, std ~3.9 — row_mask must be ignored entirely.
+    assert 2 <= untouched <= 40
+
+
+@pytest.mark.fast
+def test_multi_batch_recorded_noise_bank_shared_across_channels():
+    """Device recorded-noise stage: snippet shared across a sample's mics, gated, renormed."""
+    from wav2vec_heart_sounds_tpu.augment.jaxaug import _augment_multi_batch
+
+    b, t, c = 4, 800, 3
+    mono = 0.3 * jax.random.normal(jax.random.key(11), (b, t))
+    y = jnp.broadcast_to(mono[:, None, :], (b, c, t)).reshape(b * c, t)
+    bank = 0.2 * jax.random.normal(jax.random.key(12), (5, t))
+    # wander/noise off, recorded-noise certain: identical channels must stay identical.
+    z = _augment_multi_batch(jax.random.key(13), y, b, 4125, 0.0, 0.0, 1.0,
+                             noise_bank=bank)
+    z = np.asarray(z).reshape(b, c, t)
+    for ch in range(1, c):
+        np.testing.assert_allclose(z[:, ch], z[:, 0], atol=1e-6)
+    base = np.asarray(_augment_multi_batch(jax.random.key(13), y, b, 4125, 0.0, 0.0, 0.0)
+                      ).reshape(b, c, t)
+    assert not np.allclose(z, base)   # the bank stage actually mixed something in

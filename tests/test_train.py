@@ -120,7 +120,9 @@ def test_trainer_on_device_batch_transform():
     model, params, cfg = _tiny_classifier()
     ds = _toy_dataset(n=16)
     aug = AugmentConfig(prob_banding=0.0)  # EQ needs fs headroom; keep the cheap subset
-    transform = lambda key, x: augment_pcg_batch(key, x, 1000, aug)
+    # Ignore the loader's replica mask here (toy dataset has no expansion plan):
+    # the test exercises the on-device transform on every row.
+    transform = lambda key, x, row_mask=None: augment_pcg_batch(key, x, 1000, aug)
     trainer = SupervisedTrainer(model, params, optimizer_name="adam", lr=1e-3,
                                 batch_transform=transform, classifier_config=cfg,
                                 log=lambda s: None)

@@ -103,49 +103,84 @@ def parametric_eq(key: jax.Array, x: jnp.ndarray, fs: float, low: float, high: f
     return _normalise(_normalise(coloured) / 50.0 + _normalise(x))
 
 
-def _apply_shared(key: jax.Array, y: jnp.ndarray, transformed: jnp.ndarray, prob: float,
-                  b: int) -> jnp.ndarray:
-    """Bernoulli gate drawn per original sample, shared across its channel rows."""
-    c = y.shape[0] // b
-    mask = (jax.random.uniform(key, (b, 1, 1)) < prob).astype(y.dtype)
-    mask = jnp.broadcast_to(mask, (b, c, 1)).reshape(b * c, 1)
-    return _normalise(mask * transformed + (1.0 - mask) * y)
+def _participation(key: jax.Array, b: int, row_mask, pristine_prob):
+    """Which batch rows take the augmentation at all (``None`` = every row).
+
+    ``pristine_prob`` (per-epoch policies, e.g. the raw wire with no host expansion)
+    overrides ``row_mask``: a fresh Bernoulli draw keeps ~that fraction of rows pristine,
+    mirroring the host expansion where 1/(aug_num+1) of draws are the original. With an
+    expansion plan, ``row_mask`` is the loader's replica flag and originals pass through
+    untouched exactly as the host path leaves them."""
+    if pristine_prob is not None:
+        return jax.random.uniform(key, (b,)) >= pristine_prob
+    if row_mask is not None:
+        return row_mask > 0.5
+    return None
 
 
-@partial(jax.jit, static_argnames=("b", "fs", "prob_noise", "prob_wander"))
+def _gate_shared(key: jax.Array, b: int, c: int, prob: float):
+    """[B*C, 1] boolean gate drawn per original sample, shared across its channel rows."""
+    g = jax.random.uniform(key, (b, 1, 1)) < prob
+    return jnp.broadcast_to(g, (b, c, 1)).reshape(b * c, 1)
+
+
+@partial(jax.jit, static_argnames=("b", "fs", "prob_noise", "prob_wander", "prob_real"))
 def _augment_multi_batch(key: jax.Array, y: jnp.ndarray, b: int, fs: int,
-                         prob_noise: float, prob_wander: float) -> jnp.ndarray:
-    """Channel-flattened [B*C, T] core of :func:`augment_multi_pcg_batch`."""
+                         prob_noise: float, prob_wander: float, prob_real: float,
+                         noise_bank: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Channel-flattened [B*C, T] core of :func:`augment_multi_pcg_batch`.
+
+    Stage order matches the tail of the host pipeline after the host residue
+    (normalise -> noise -> warp) has run: wander -> noise -> recorded noise — so the
+    split pipeline composes to the reference's full order
+    (pipelines.augment_multi_pcg; reference src/mpcg_wav2vec/augment/pipelines.py).
+    Per-stage renormalisation also mirrors the host stages: wander and recorded-noise
+    renormalise, white noise does not."""
     y = _normalise(y)
     keys = jax.random.split(key, 6)
-    y = _apply_shared(keys[0], y, add_white_noise(keys[1], y), prob_noise / 4, b)
     c = y.shape[0] // b
     t = jnp.arange(y.shape[-1], dtype=y.dtype) / fs
-    mod = 1.0 + _two_band_sines(keys[2], b, t, 0.01, 0.24)    # one envelope per sample
-    wandered = (y.reshape(b, c, -1) * mod[:, None, :]).reshape(b * c, -1)
-    y = _apply_shared(keys[3], y, wandered, prob_wander, b)
-    y = _apply_shared(keys[4], y, add_white_noise(keys[5], y), prob_noise / 4, b)
+    mod = 1.0 + _two_band_sines(keys[0], b, t, 0.01, 0.24)    # one envelope per sample
+    wandered = _normalise((y.reshape(b, c, -1) * mod[:, None, :]).reshape(b * c, -1))
+    y = jnp.where(_gate_shared(keys[1], b, c, prob_wander), wandered, y)
+    y = jnp.where(_gate_shared(keys[2], b, c, prob_noise / 4),
+                  add_white_noise(keys[3], y), y)
+    if noise_bank is not None:
+        idx = jax.random.randint(keys[4], (b,), 0, noise_bank.shape[0])
+        snip = noise_bank[idx].astype(y.dtype)                # [B, T] shared across mics
+        mixed = _normalise((y.reshape(b, c, -1) + snip[:, None, :]).reshape(b * c, -1))
+        y = jnp.where(_gate_shared(keys[5], b, c, prob_real), mixed, y)
     return y
 
 
 def augment_multi_pcg_batch(key: jax.Array, x: jnp.ndarray, fs: int,
-                            cfg: AugmentConfig | None = None) -> jnp.ndarray:
+                            cfg: AugmentConfig | None = None, *,
+                            row_mask: jnp.ndarray | None = None,
+                            pristine_prob: float | None = None,
+                            noise_bank: jnp.ndarray | None = None) -> jnp.ndarray:
     """Device twin of the vest pipeline (:func:`..augment.pipelines.augment_multi_pcg`)
     for a multichannel batch ``[B, T, C]``.
 
-    The channel-shared transforms — white noise gates and the sinusoidal wander envelope,
-    applied identically across mics so inter-channel phase is preserved (reference
-    src/mpcg_wav2vec/augment/pipelines.py:117-148 semantics) — vectorise over channels
-    here; micro time-stretch and recorded-noise mixing have no exact tensor form and stay
-    on the host path (:func:`..data.vest.multi_augment_host_residual`), exactly as the
-    reference scopes torch-side augmentation (torchaug.py:9-11).
+    The channel-shared transforms — the sinusoidal wander envelope, white noise and
+    recorded-noise mixing from a pre-cut on-device ``noise_bank`` ([K, T], see
+    :func:`..augment.noise_sources.pcg_noise_bank`), gated identically across mics so
+    inter-channel phase is preserved (reference src/mpcg_wav2vec/augment/pipelines.py:
+    117-148 semantics) — vectorise over channels here; micro time-stretch has no tensor
+    form and stays on the host path (:func:`..data.vest.multi_augment_host_residual`),
+    exactly as the reference scopes torch-side augmentation (torchaug.py:9-11).
+    ``row_mask`` (the loader's replica flag) keeps pristine originals untouched.
     """
-    from .pipelines import MULTI_PROB_NOISE, MULTI_PROB_WANDER
+    from .pipelines import (MULTI_PROB_NOISE, MULTI_PROB_REAL_NOISE,
+                            MULTI_PROB_WANDER)
 
     b, t, c = x.shape
+    k_part, k_aug = jax.random.split(key)
     y = jnp.swapaxes(x, 1, 2).reshape(b * c, t)
-    y = _augment_multi_batch(key, y, b, fs, MULTI_PROB_NOISE, MULTI_PROB_WANDER)
-    return jnp.swapaxes(y.reshape(b, c, t), 1, 2)
+    y = _augment_multi_batch(k_aug, y, b, fs, MULTI_PROB_NOISE, MULTI_PROB_WANDER,
+                             MULTI_PROB_REAL_NOISE, noise_bank)
+    y = jnp.swapaxes(y.reshape(b, c, t), 1, 2)
+    part = _participation(k_part, b, row_mask, pristine_prob)
+    return y if part is None else jnp.where(part[:, None, None], y, x)
 
 
 @partial(jax.jit, static_argnames=("fs", "prob_noise", "prob_wandering_volume", "prob_banding"))
@@ -161,8 +196,17 @@ def _augment_pcg_batch(key: jax.Array, x: jnp.ndarray, fs: int, prob_noise: floa
 
 
 def augment_pcg_batch(key: jax.Array, x: jnp.ndarray, fs: int,
-                      cfg: AugmentConfig | None = None) -> jnp.ndarray:
-    """Apply the on-device PCG augmentation subset to a batch ``[B, T]``."""
+                      cfg: AugmentConfig | None = None, *,
+                      row_mask: jnp.ndarray | None = None,
+                      pristine_prob: float | None = None) -> jnp.ndarray:
+    """Apply the on-device PCG augmentation subset to a batch ``[B, T]``.
+
+    ``row_mask``/``pristine_prob`` select which rows participate at all (see
+    :func:`_participation`); non-participating rows pass through bit-identical —
+    no renormalisation — like the host path's pristine originals."""
     cfg = cfg or AugmentConfig()
-    return _augment_pcg_batch(key, x, fs, cfg.prob_noise,
-                              cfg.prob_wandering_volume, cfg.prob_banding)
+    k_part, k_aug = jax.random.split(key)
+    y = _augment_pcg_batch(k_aug, x, fs, cfg.prob_noise,
+                           cfg.prob_wandering_volume, cfg.prob_banding)
+    part = _participation(k_part, x.shape[0], row_mask, pristine_prob)
+    return y if part is None else jnp.where(part[:, None], y, x)

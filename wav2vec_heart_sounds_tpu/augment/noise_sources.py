@@ -59,6 +59,22 @@ def pcg_noise(fs: float, length: int, ephnogram_dir: str,
     return np.zeros(length)
 
 
+def pcg_noise_bank(fs: float, length: int, ephnogram_dir: str, k: int = 64,
+                   rng: np.random.Generator | None = None) -> np.ndarray | None:
+    """Pre-cut ``[k, length]`` bank of recorded-noise snippets for on-device mixing.
+
+    Built once at wiring time and shipped to the device, so the recorded-noise stage of
+    the vest pipeline can run *after* the on-device wander/noise stages in reference
+    order (``jaxaug.augment_multi_pcg_batch``) instead of on the host before them.
+    Returns ``None`` when the directory yields no usable noise (callers then keep the
+    host fallback)."""
+    rng = default_rng(rng)
+    bank = np.stack([pcg_noise(fs, length, ephnogram_dir, rng) for _ in range(k)])
+    if not np.any(np.abs(bank) > 0):
+        return None
+    return bank.astype(np.float32)
+
+
 def ecg_noise(fs: float, length: int, mit_dir: str,
               rng: np.random.Generator | None = None) -> np.ndarray:
     """Sum of randomly scaled MIT-BIH em/bw/ma noise, cropped to ``length`` samples."""

@@ -124,6 +124,7 @@ class FragmentDataset:
             "waveform": np.ascontiguousarray(np.asarray(wave, dtype=np.float32)),
             "label": int(frag.label),
             "patient": frag.patient,
+            "augmented": bool(self.is_augmented[idx]),
         }
 
     def gather(self, indices: np.ndarray) -> dict:
@@ -155,4 +156,8 @@ class FragmentDataset:
             "waveform": waves,
             "label": self._labels[indices].astype(np.int32),
             "patient": [self.fragments[int(self.src[i])].patient for i in indices],
+            # Expansion-plan flag per row (False = the pristine original): on-device
+            # augmentation uses it to leave originals untouched, mirroring the host
+            # path where augment_fn runs only on replica draws.
+            "augmented": self.is_augmented[indices].copy(),
         }

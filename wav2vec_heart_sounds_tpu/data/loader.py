@@ -92,6 +92,7 @@ class Batcher:
             if hasattr(self.dataset, "gather"):
                 batch = self.dataset.gather(chunk)
                 waves, labels, patients = batch["waveform"], batch["label"], batch["patient"]
+                augmented = batch.get("augmented")
                 if self.target_len is not None and waves.shape[1] != self.target_len:
                     waves = pad_batch(list(waves), self.target_len)
             else:
@@ -99,14 +100,18 @@ class Batcher:
                 waves = pad_batch([it["waveform"] for it in items], self.target_len)
                 labels = np.asarray([it["label"] for it in items], dtype=np.int32)
                 patients = [it["patient"] for it in items]
+                augmented = np.asarray([it.get("augmented", False) for it in items])
             if self.wire_int16:
                 waves = np.clip(np.round(waves * WIRE_SCALE), -32767, 32767).astype(np.int16)
-            yield {
+            out = {
                 "waveform": waves,
                 "label": labels,
                 "patient": patients,
                 "valid": valid,
             }
+            if augmented is not None:
+                out["augmented"] = np.asarray(augmented, dtype=bool)
+            yield out
 
 
 def prefetch_threaded(iterator: Iterable, transform=None, depth: int = 2) -> Iterator:

@@ -117,14 +117,20 @@ def multi_augment(wave: np.ndarray, fs: int, cfg: AugmentConfig,
 
 
 def multi_augment_host_residual(wave: np.ndarray, fs: int, cfg: AugmentConfig,
-                                rng: np.random.Generator | None = None) -> np.ndarray:
+                                rng: np.random.Generator | None = None,
+                                recorded_on_device: bool = False) -> np.ndarray:
     """Host-side residue of the vest pipeline under ``--device-augment``.
 
-    Only the transforms with no tensor form run here — micro time-stretch (shared rate
-    across mics) and recorded-noise mixing — exactly the subset the reference keeps on
-    the NumPy side (src/mpcg_wav2vec/augment/torchaug.py:9-11). White noise and the
-    shared wander envelope run batched on device
-    (:func:`..augment.jaxaug.augment_multi_pcg_batch`) inside the jitted train step.
+    Runs the *head* of the multichannel pipeline in its reference order — normalise,
+    the first white-noise gate, micro time-stretch (shared rate across mics) — so that
+    the on-device tail (wander -> noise -> recorded noise,
+    :func:`..augment.jaxaug.augment_multi_pcg_batch`) composes to the exact host
+    ordering of :func:`..augment.pipelines.augment_multi_pcg`. Time-stretch has no
+    tensor form and must stay host-side, exactly the subset the reference keeps on the
+    NumPy side (src/mpcg_wav2vec/augment/torchaug.py:9-11). Recorded-noise mixing moves
+    on-device when the caller ships a noise bank (``recorded_on_device=True``, see
+    ``noise_sources.pcg_noise_bank``); otherwise it stays here as a fallback — out of
+    reference order (before wander/noise instead of last) but feature-preserving.
     """
     from ..augment import pipelines as PL
     from ..augment import primitives as P
@@ -133,11 +139,14 @@ def multi_augment_host_residual(wave: np.ndarray, fs: int, cfg: AugmentConfig,
 
     rng = P.default_rng(rng)
     chans = [abs_max_normalise(c.copy()) for c in wave.T]
+    if PL._chance(PL.MULTI_PROB_NOISE / 4, rng):
+        chans = [P.add_white_noise(c, rng) for c in chans]
     if PL._chance(PL.MULTI_PROB_TIME_WARP, rng):
         rate = P.randfloat(*PL.MULTI_STRETCH, rng=rng)
         chans = [abs_max_normalise(P.time_stretch(c, fs, rate, keep_length=True))
                  for c in chans]
-    if PL._chance(PL.MULTI_PROB_REAL_NOISE, rng) and cfg.ephnogram_dir:
+    if (not recorded_on_device and PL._chance(PL.MULTI_PROB_REAL_NOISE, rng)
+            and cfg.ephnogram_dir):
         shared = pcg_noise(fs, len(chans[0]), cfg.ephnogram_dir, rng)
         chans = [abs_max_normalise(c + shared) for c in chans]
     return stack_min_length(chans)
@@ -156,10 +165,15 @@ def vest_dataset(
     augment_config: AugmentConfig | None = None,
     channel: int = -1,
     device_augment: bool = False,
+    recorded_on_device: bool = False,
 ) -> FragmentDataset:
     fragments = build_fragments(data_dir, csv_path, subset, fs_out=fs_out, window=window,
                                 channels=channels, fold=fold)
-    host_fn = multi_augment_host_residual if device_augment else multi_augment
-    augment_fn = partial(host_fn, cfg=augment_config or AugmentConfig())
+    cfg = augment_config or AugmentConfig()
+    if device_augment:
+        augment_fn = partial(multi_augment_host_residual, cfg=cfg,
+                             recorded_on_device=recorded_on_device)
+    else:
+        augment_fn = partial(multi_augment, cfg=cfg)
     return FragmentDataset(fragments, fs=fs_out, augment_num=augment_num,
                            augment_fn=augment_fn, channel=channel)

@@ -98,9 +98,15 @@ def run(
         if augment and not device_augment:
             device_augment = True   # raw mode's only augmentation path
     else:
+        # Under device augmentation the frozen host copies are *replaced*, not stacked
+        # on: expanding augmented copies AND re-augmenting every row on device would
+        # double-augment. Per-epoch device augmentation + the Batcher's balanced
+        # bootstrap covers both roles; the 1/(aug_num+1) pristine fraction of the host
+        # expansion is mirrored by the transform's pristine_prob draw below.
+        host_aug_num = 0 if (device_augment and not load_ecg) else aug_num
         frags = {
             "train": build_fragments(data_dir, csv_path, "train", fs_out=fs, window=window,
-                                     ecg=load_ecg, fold=fold, augment_num=aug_num,
+                                     ecg=load_ecg, fold=fold, augment_num=host_aug_num,
                                      augment_config=cfg),
             "valid": build_fragments(data_dir, csv_path, "valid", fs_out=fs, window=window,
                                      ecg=load_ecg, fold=fold, augment_num=valid_aug,
@@ -118,7 +124,12 @@ def run(
 
         from ..augment.jaxaug import augment_pcg_batch
 
-        batch_transform = partial(augment_pcg_batch, fs=fs, cfg=cfg)
+        # pristine_prob mirrors the host expansion's untouched-original fraction
+        # (1 original per aug_num copies); it overrides the loader row mask since
+        # these datasets carry no expansion plan.
+        pristine = 1.0 / (aug_num + 1) if aug_num > 0 else None
+        batch_transform = partial(augment_pcg_batch, fs=fs, cfg=cfg,
+                                  pristine_prob=pristine)
 
     frag_fs = fs_wire if raw_wire else fs
     loader_len = window.window_len(frag_fs)

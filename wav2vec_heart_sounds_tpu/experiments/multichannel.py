@@ -63,10 +63,27 @@ def run(
                             **enc_kw)
     model, variables = build_classifier(ccfg, jax.random.key(seed), win_len)
 
+    # Recorded-noise mixing runs on device in reference order (after wander/noise) when
+    # a bank can be cut from the configured noise directory; the host residual then
+    # skips its out-of-order fallback (recorded_on_device).
+    bank = None
+    if device_augment and augment and cfg.ephnogram_dir:
+        import numpy as _np
+
+        from ..augment.noise_sources import pcg_noise_bank
+
+        bank_np = pcg_noise_bank(fs, win_len, cfg.ephnogram_dir,
+                                 rng=_np.random.default_rng(seed))
+        if bank_np is not None:
+            import jax.numpy as jnp
+
+            bank = jnp.asarray(bank_np)
+
     def dataset(subset, augment_num):
         return vest_dataset(data_dir, csv_path, subset, fs_out=fs, window=window,
                             channels=channels, fold=fold, augment_num=augment_num,
-                            augment_config=cfg, device_augment=device_augment)
+                            augment_config=cfg, device_augment=device_augment,
+                            recorded_on_device=bank is not None)
 
     train_ds = dataset("train", aug_num)
     valid_ds = dataset("valid", 0)
@@ -81,7 +98,8 @@ def run(
 
         from ..augment.jaxaug import augment_multi_pcg_batch
 
-        batch_transform = _partial(augment_multi_pcg_batch, fs=fs, cfg=cfg)
+        batch_transform = _partial(augment_multi_pcg_batch, fs=fs, cfg=cfg,
+                                   noise_bank=bank)
     trainer = SupervisedTrainer(model, variables, optimizer_name=optimizer, lr=lr,
                                 criterion=criterion, classifier_config=ccfg,
                                 batch_transform=batch_transform,

@@ -24,7 +24,8 @@ import numpy as np
 from .wav2vec2 import FastLayerNorm
 
 
-def _mem_efficient_attention(query, key, value, **kwargs):
+def _mem_efficient_attention(query, key, value, mask=None, bias=None,
+                             dropout_rate: float = 0.0, **kwargs):
     """Drop-in for flax's ``dot_product_attention`` that never materialises [B, H, T, T].
 
     The delay predictor attends over every waveform sample (vest: T ~8k -> a 8.2 GB probs
@@ -33,9 +34,17 @@ def _mem_efficient_attention(query, key, value, **kwargs):
     this dispatches to the kv-blocked flash kernel (``ops/pallas/flash_kv.py``:
     probabilities live only in VMEM — the query-chunked XLA fallback below still moved
     ~10^2 GB/step through HBM and measured 574 ms of the vest step). Elsewhere it runs
-    the exact chunked-softmax scan.
+    the exact chunked-softmax scan. Neither path implements masking/bias/dropout (the
+    delay predictor is dropout-free and unmasked), so those arriving non-trivially is a
+    wiring bug — fail loudly rather than silently drop them.
     """
-    if jax.default_backend() != "cpu" and os.environ.get("W2VHS_NO_FLASHKV") != "1":
+    if mask is not None or bias is not None or dropout_rate:
+        raise NotImplementedError(
+            "DelayPredictor attention has no mask/bias/dropout support; got "
+            f"mask={mask is not None}, bias={bias is not None}, rate={dropout_rate}")
+    no_pallas = (os.environ.get("W2VHS_NO_FLASHKV") == "1"
+                 or os.environ.get("W2VHS_NO_FLASH") == "1")   # repo-wide kill-switch
+    if jax.default_backend() != "cpu" and not no_pallas:
         from ..ops.pallas.flash_kv import flash_attention_kv
 
         return flash_attention_kv(query, key, value)

@@ -56,7 +56,9 @@ class SupervisedTrainer:
         optimizer_name: str = "sgd",
         lr: float = 1e-3,
         weight_decay: float = 1e-5,
-        batch_transform: Callable | None = None,  # key, [B,T] -> [B,T] on-device augment
+        batch_transform: Callable | None = None,  # (key, [B,T(,C)], row_mask=[B]) -> same
+                                                  # on-device augment; row_mask marks the
+                                                  # replica rows (originals stay pristine)
         device_preprocess: Callable | None = None,  # [B,T_wire] -> [B,T] device preproc
         criterion: ContrastiveFocalConfig | None = None,
         classifier_config=None,                   # for trainable_mask; None = train all
@@ -96,11 +98,13 @@ class SupervisedTrainer:
             opt_state=replicate(self.tx.init(jax.tree_util.tree_map(jnp.asarray, train_tree)),
                                 mesh),
         )
-        self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0, 1, 2))
+        step_impl = (self._train_step_impl if batch_transform is None
+                     else self._train_step_aug_impl)
+        self._train_step = jax.jit(step_impl, donate_argnums=(0, 1, 2))
         self._eval_step = jax.jit(self._eval_step_impl)
         self._aot_warmed = False
 
-    def aot_warm(self, x, y, valid) -> None:
+    def aot_warm(self, x, y, valid, aug=None) -> None:
         """Swap the jitted train step for an AOT-cached executable (``utils.aot``).
 
         On relay-attached TPUs every fresh process pays minutes of remote compilation for
@@ -113,9 +117,15 @@ class SupervisedTrainer:
 
         lr = jnp.asarray(self.schedule(self.state.epoch), jnp.float32)
         self._aot_warmed = True
-        self._train_step = cached_compile(
-            self._train_step, self.state.params, self.state.loss_params,
-            self.state.opt_state, x, y, valid, lr, jax.random.key(0))
+        if self.batch_transform is not None:
+            aug_ex = aug if aug is not None else jnp.ones((x.shape[0],), jnp.float32)
+            self._train_step = cached_compile(
+                self._train_step, self.state.params, self.state.loss_params,
+                self.state.opt_state, x, y, valid, aug_ex, lr, jax.random.key(0))
+        else:
+            self._train_step = cached_compile(
+                self._train_step, self.state.params, self.state.loss_params,
+                self.state.opt_state, x, y, valid, lr, jax.random.key(0))
         # Eval loaders ship float32 even when the train wire is int16 (loader policy:
         # eval batches feed plain apply fns) — warm eval with the float signature,
         # keeping x's sharding (a fabricated unsharded zeros array would pin the compiled
@@ -155,12 +165,28 @@ class SupervisedTrainer:
         return loss, logits
 
     def _train_step_impl(self, params, loss_params, opt_state, x, y, valid, lr, key):
-        k_aug, k_drop, k_mask = jax.random.split(key, 3)
-        if self.batch_transform is not None:
-            # Dequantise before augmenting: the transform contract is float [B, T]
-            # waveforms, and the wire format may be int16.
-            x = self.batch_transform(k_aug, self._dequant(x))
+        _, k_drop, k_mask = jax.random.split(key, 3)
+        return self._step_tail(params, loss_params, opt_state, x, y, valid, lr,
+                               k_drop, k_mask)
 
+    def _train_step_aug_impl(self, params, loss_params, opt_state, x, y, valid, aug,
+                             lr, key):
+        """Train step with on-device batch augmentation.
+
+        A separate jit root (selected at construction) so the transform-free step —
+        the flagship bench program — keeps its exact signature and executable. ``aug``
+        is the loader's per-row replica flag as float; the transform leaves rows with
+        ``aug == 0`` (pristine originals) untouched, mirroring the host path where
+        ``augment_fn`` runs only on replica draws."""
+        k_aug, k_drop, k_mask = jax.random.split(key, 3)
+        # Dequantise before augmenting: the transform contract is float [B, T]
+        # waveforms, and the wire format may be int16.
+        x = self.batch_transform(k_aug, self._dequant(x), row_mask=aug)
+        return self._step_tail(params, loss_params, opt_state, x, y, valid, lr,
+                               k_drop, k_mask)
+
+    def _step_tail(self, params, loss_params, opt_state, x, y, valid, lr,
+                   k_drop, k_mask):
         def loss_fn(train_tree):
             return self._forward(train_tree["model"], train_tree["loss"], x, y, valid,
                                  True, {"dropout": k_drop, "mask": k_mask})
@@ -190,14 +216,27 @@ class SupervisedTrainer:
         pending: list[tuple] = []
         lr = jnp.asarray(self.schedule(self.state.epoch), jnp.float32)
 
+        want_aug = train and self.batch_transform is not None
+
         def to_device(batch):
             # Runs on the prefetch thread: host->device transfer overlaps device compute.
+            aug = None
+            if want_aug:
+                # Per-row replica flag from the expansion plan; all-ones if the dataset
+                # has none. Transforms wired with pristine_prob (the per-epoch raw-wire
+                # policy) ignore this and draw their own participation instead.
+                mask = batch.get("augmented")
+                mask = (np.ones(len(batch["valid"]), dtype=np.float32)
+                        if mask is None else mask.astype(np.float32))
+                aug = maybe_shard_batch(mask, self.mesh)
             return (batch,
                     maybe_shard_batch(batch["waveform"], self.mesh),
                     maybe_shard_batch(batch["label"], self.mesh),
-                    maybe_shard_batch(batch["valid"].astype(np.float32), self.mesh))
+                    maybe_shard_batch(batch["valid"].astype(np.float32), self.mesh),
+                    aug)
 
-        for i, (batch, x, y, valid) in enumerate(prefetch_threaded(batcher, to_device)):
+        for i, (batch, x, y, valid, aug) in enumerate(
+                prefetch_threaded(batcher, to_device)):
             if max_batches is not None and i >= max_batches:
                 break
             if (train and not self._aot_warmed and jax.default_backend() != "cpu"
@@ -208,7 +247,7 @@ class SupervisedTrainer:
                 self._aot_warmed = True
                 if self.device_preprocess is not None:
                     x = self.device_preprocess(x)   # reused below — don't run the chain twice
-                self.aot_warm(x, y, valid)
+                self.aot_warm(x, y, valid, aug)
             elif self.device_preprocess is not None:
                 # Raw-wire mode: the loader ships raw low-rate windows (8x fewer bytes on
                 # the transfer-bound relay link) and the preprocessing chain runs on
@@ -217,10 +256,11 @@ class SupervisedTrainer:
                 x = self.device_preprocess(x)
             if train:
                 self.key, sub = jax.random.split(self.key)
+                step_args = (x, y, valid) if aug is None else (x, y, valid, aug)
                 (self.state.params, self.state.loss_params, self.state.opt_state,
                  loss, preds) = self._train_step(
                     self.state.params, self.state.loss_params, self.state.opt_state,
-                    x, y, valid, lr, sub)
+                    *step_args, lr, sub)
             else:
                 loss, logits = self._eval_step(self.state.params, self.state.loss_params,
                                                x, y, valid)

@@ -89,7 +89,7 @@ def _kernel_source_digest() -> bytes:
     return h.digest()
 
 
-def _key(lowered, backend: str, device_kind: str) -> str:
+def _key(hlo_text: str, backend: str, device_kind: str) -> str:
     import jax
 
     h = hashlib.sha256()
@@ -97,7 +97,7 @@ def _key(lowered, backend: str, device_kind: str) -> str:
     h.update(backend.encode())
     h.update(device_kind.encode())
     h.update(_kernel_source_digest())
-    h.update(_canonical_text(lowered.as_text()).encode())
+    h.update(_canonical_text(hlo_text).encode())
     return h.hexdigest()[:32]
 
 
@@ -156,7 +156,8 @@ def cached_compile(jitted: Callable, *args: Any, cache_dir: Path | None = None,
 
     backend = jax.default_backend()
     dev = jax.devices()[0]
-    key = _key(lowered, backend, getattr(dev, "device_kind", str(dev)))
+    hlo_text = lowered.as_text()   # printed once; reused for the donation check below
+    key = _key(hlo_text, backend, getattr(dev, "device_kind", str(dev)))
     cdir = Path(cache_dir) if cache_dir is not None else DEFAULT_DIR
     path = cdir / f"{key}.pjrt"
 
@@ -202,7 +203,11 @@ def cached_compile(jitted: Callable, *args: Any, cache_dir: Path | None = None,
             # only when the program donates no inputs: a failed dispatch may already
             # have consumed donated buffers, so retrying with the same (now-deleted)
             # arrays would crash confusingly instead of recovering.
-            donated = "tf.aliasing_output" in lowered.as_text()
+            # Either marker means a donated input: tf.aliasing_output when the donation
+            # aliased an output buffer, jax.buffer_donor when it could not be aliased
+            # but the buffer is still surrendered to the runtime.
+            donated = ("tf.aliasing_output" in hlo_text
+                       or "jax.buffer_donor" in hlo_text)
             state = {"fn": loaded}
 
             def call(*a, **k):
