@@ -14,11 +14,10 @@ from flax.linen.attention import dot_product_attention
 
 from wav2vec_heart_sounds_tpu.ops.pallas.flash_kv import flash_attention_kv
 
-pytestmark = pytest.mark.fast
-
-
 @pytest.mark.parametrize("b,t,h,d,qb,kvb", [
-    (2, 300, 4, 8, 256, 128),    # ragged tail in both block grids
+    # The ragged-tail case is the smoke gate; the exact-fit/multi-block cases stay in
+    # the full suite (each costs ~6 s of interpreter time on this 1-CPU host).
+    pytest.param(2, 300, 4, 8, 256, 128, marks=pytest.mark.fast),
     (1, 700, 2, 8, 256, 256),
     (2, 512, 4, 8, 512, 512),    # single q block, exact fit
 ])
@@ -38,6 +37,7 @@ def test_flash_kv_matches_exact_softmax(b, t, h, d, qb, kvb):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-5)
 
 
+@pytest.mark.fast
 def test_flash_kv_bf16_boundary_cast():
     """bf16 inputs run through the f32 boundary cast and return bf16 (the vest train
     step feeds the kernel under the bf16 compute dtype)."""
@@ -55,6 +55,7 @@ def test_flash_kv_bf16_boundary_cast():
     assert g.dtype == jnp.bfloat16 and bool(jnp.isfinite(g.astype(jnp.float32)).all())
 
 
+@pytest.mark.fast
 def test_flash_kv_large_scale_values():
     """Online softmax is stable for scores far above exp range."""
     rng = np.random.default_rng(1)

@@ -139,13 +139,16 @@ def _augment_multi_batch(key: jax.Array, y: jnp.ndarray, b: int, fs: int,
     y = _normalise(y)
     keys = jax.random.split(key, 6)
     c = y.shape[0] // b
-    t = jnp.arange(y.shape[-1], dtype=y.dtype) / fs
-    mod = 1.0 + _two_band_sines(keys[0], b, t, 0.01, 0.24)    # one envelope per sample
-    wandered = _normalise((y.reshape(b, c, -1) * mod[:, None, :]).reshape(b * c, -1))
-    y = jnp.where(_gate_shared(keys[1], b, c, prob_wander), wandered, y)
-    y = jnp.where(_gate_shared(keys[2], b, c, prob_noise / 4),
-                  add_white_noise(keys[3], y), y)
-    if noise_bank is not None:
+    # Probabilities are static: zero-probability stages drop out of the trace entirely.
+    if prob_wander > 0:
+        t = jnp.arange(y.shape[-1], dtype=y.dtype) / fs
+        mod = 1.0 + _two_band_sines(keys[0], b, t, 0.01, 0.24)  # one envelope per sample
+        wandered = _normalise((y.reshape(b, c, -1) * mod[:, None, :]).reshape(b * c, -1))
+        y = jnp.where(_gate_shared(keys[1], b, c, prob_wander), wandered, y)
+    if prob_noise > 0:
+        y = jnp.where(_gate_shared(keys[2], b, c, prob_noise / 4),
+                      add_white_noise(keys[3], y), y)
+    if noise_bank is not None and prob_real > 0:
         idx = jax.random.randint(keys[4], (b,), 0, noise_bank.shape[0])
         snip = noise_bank[idx].astype(y.dtype)                # [B, T] shared across mics
         mixed = _normalise((y.reshape(b, c, -1) + snip[:, None, :]).reshape(b * c, -1))
@@ -188,10 +191,16 @@ def _augment_pcg_batch(key: jax.Array, x: jnp.ndarray, fs: int, prob_noise: floa
                        prob_wandering_volume: float, prob_banding: float) -> jnp.ndarray:
     x = _normalise(x)
     keys = jax.random.split(key, 8)
-    x = _apply(keys[0], x, add_white_noise(keys[1], x), prob_noise / 4)
-    x = _apply(keys[2], x, sinusoidal_envelope(keys[3], x, fs), prob_wandering_volume)
-    x = _apply(keys[4], x, parametric_eq(keys[5], x, fs, 2, 500), prob_banding)
-    x = _apply(keys[6], x, add_white_noise(keys[7], x), prob_noise / 4)
+    # Probabilities are static: zero-probability stages drop out of the trace entirely
+    # (the EQ biquad scan in particular is the expensive trace).
+    if prob_noise > 0:
+        x = _apply(keys[0], x, add_white_noise(keys[1], x), prob_noise / 4)
+    if prob_wandering_volume > 0:
+        x = _apply(keys[2], x, sinusoidal_envelope(keys[3], x, fs), prob_wandering_volume)
+    if prob_banding > 0:
+        x = _apply(keys[4], x, parametric_eq(keys[5], x, fs, 2, 500), prob_banding)
+    if prob_noise > 0:
+        x = _apply(keys[6], x, add_white_noise(keys[7], x), prob_noise / 4)
     return x
 
 
