@@ -30,4 +30,6 @@ run_mode gen-train 2400
 run_mode gen-train-wavegrad 2400
 run_mode gen 1800
 run_mode gen-wavegrad 1800
+# Staged round-2 lever (d): attention head-block sweep — all 12 heads per program.
+run_mode train 2400 W2VHS_ATTN_VMEM_MB=16
 echo "=== sweep done $(date +%H:%M:%S)"
