@@ -829,6 +829,37 @@ def measure_reference_wavegrad_baseline(batch_size: int = 2, steps: int = 2,
     return result
 
 
+def _wait_for_backend(max_wait_s: float = 900.0, probe_timeout_s: float = 240.0) -> bool:
+    """Probe JAX backend init in a child process until it succeeds or the budget runs out.
+
+    The tunneled TPU backend hangs indefinitely inside backend init when the relay is down
+    (observed multi-hour outages); a hung bench run leaves the driver with no output at all.
+    Probing in a child keeps this process un-initialized, so a recovered tunnel still gets a
+    clean first init. Returns True when a backend came up. Budget override:
+    ``W2VHS_BENCH_BACKEND_WAIT_S`` (0 disables probing entirely).
+    """
+    import subprocess
+
+    max_wait_s = float(os.environ.get("W2VHS_BENCH_BACKEND_WAIT_S", max_wait_s))
+    if max_wait_s <= 0:
+        return True
+    deadline = time.monotonic() + max_wait_s
+    while True:
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", "import jax; assert jax.devices()"],
+                timeout=min(probe_timeout_s, max(10.0, deadline - time.monotonic())),
+                capture_output=True,
+            )
+            if proc.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if time.monotonic() >= deadline:
+            return False
+        time.sleep(30.0)
+
+
 if __name__ == "__main__":
     if "--measure-baseline-wavegrad" in sys.argv:
         print(json.dumps(measure_reference_wavegrad_baseline()))
@@ -841,4 +872,12 @@ if __name__ == "__main__":
         for arg in sys.argv[1:]:
             if arg.startswith("--mode="):
                 mode = arg.split("=", 1)[1]
+        if not _wait_for_backend():
+            print(json.dumps({
+                "metric": "pcg_4s_windows_per_sec_per_chip_e2e", "value": None,
+                "unit": "windows/s/chip", "vs_baseline": None,
+                "error": "jax backend init unavailable (relay TPU down) within the probe "
+                         "budget; see W2VHS_BENCH_BACKEND_WAIT_S",
+            }))
+            sys.exit(0)
         print(json.dumps(run_bench(mode=mode)))
