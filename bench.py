@@ -252,11 +252,15 @@ def run_vest_bench(batch_size: int = 16, steps: int = 6, window_s: float = 2.0,
     jax.device_get(jax.tree_util.tree_leaves(trainer.state.params)[0])
     elapsed = time.perf_counter() - t0
     value = batch_size * steps / elapsed / max(1, jax.device_count())
+    baseline = None
+    if BASELINE_FILE.exists():
+        baseline = json.loads(BASELINE_FILE.read_text()).get(
+            "reference_vest_windows_per_sec")
     return {
         "metric": "vest_2s_windows_per_sec_per_chip_real_loop",
         "value": round(value, 3),
         "unit": "windows/s/chip",
-        "vs_baseline": None,
+        "vs_baseline": round(value / baseline, 3) if baseline else None,
         "device_augment": device_augment,
         "channels": channels,
         "batch_size": batch_size,
@@ -306,11 +310,15 @@ def run_fusion_bench(batch_size: int = 64, steps: int = 10, window_s: float = 4.
     jax.device_get(jax.tree_util.tree_leaves(trainer.state.params)[0])
     elapsed = time.perf_counter() - t0
     value = batch_size * steps / elapsed / max(1, jax.device_count())
+    baseline = None
+    if BASELINE_FILE.exists():
+        baseline = json.loads(BASELINE_FILE.read_text()).get(
+            "reference_fusion_windows_per_sec")
     return {
         "metric": "fusion_4s_windows_per_sec_per_chip_e2e",
         "value": round(value, 3),
         "unit": "windows/s/chip",
-        "vs_baseline": None,
+        "vs_baseline": round(value / baseline, 3) if baseline else None,
         "batch_size": batch_size,
         "steps": steps,
         "backend": jax.default_backend(),
@@ -829,6 +837,182 @@ def measure_reference_wavegrad_baseline(batch_size: int = 2, steps: int = 2,
     return result
 
 
+def measure_reference_vest_baseline(batch_size: int = 2, steps: int = 1,
+                                    window_s: float = 2.0, fs: int = 4125,
+                                    channels: int = 6) -> dict:
+    """Measure the reference-equivalent vest path with torch on this host.
+
+    Pipeline per reference src/mpcg_wav2vec/classify/beamformer.py:15-55 +
+    experiments/multichannel.py:20-81: a tiny transformer predicts per-sample per-mic
+    fractional delays (clamped [0, 0.01 s * fs]); each channel is delayed by a 41-tap
+    Hamming-windowed dynamic sinc kernel (the memory-heavy unfold-einsum), squared and
+    summed; the mono collapse feeds a LoRA-wrapped (peft r=8/alpha=16, q_proj/v_proj)
+    wav2vec2-base + (256,) head under AdamW. Host augmentation cost per window uses this
+    repo's in-house ``multi_augment`` (librosa/rubberband are absent here; the reference's
+    own HPSS/stretch path is, if anything, slower). Timed per window and extrapolated —
+    the same accounting as ``run_vest_bench``.
+    """
+    import torch
+    import torch.nn.functional as F
+    from peft import LoraConfig, get_peft_model
+    from transformers import Wav2Vec2Config as HFConfig, Wav2Vec2Model as HFModel
+
+    from wav2vec_heart_sounds_tpu.augment import AugmentConfig
+    from wav2vec_heart_sounds_tpu.data.vest import multi_augment
+
+    win_len = int(round(window_s * fs))
+    rng = np.random.default_rng(0)
+    t = np.arange(win_len) / fs
+    base = np.sin(2 * np.pi * 85 * t) + 0.3 * np.sin(2 * np.pi * 190 * t)
+    waves = (base[:, None, None]
+             + 0.05 * rng.normal(size=(win_len, channels, batch_size))).astype(np.float32)
+    waves /= np.max(np.abs(waves))
+
+    # Lazy per-epoch host augmentation (reference datasets/fragments.py:65-75 semantics).
+    t0 = time.perf_counter()
+    aug_reps = 3
+    for i in range(aug_reps):
+        multi_augment(waves[:, :, i % batch_size], fs, AugmentConfig(),
+                      rng=np.random.default_rng(i))
+    aug_time = (time.perf_counter() - t0) / aug_reps
+
+    class SincBeamformer(torch.nn.Module):
+        """Reference classify/beamformer.py:15-55 behaviour (fresh implementation)."""
+
+        def __init__(self, mics: int, fs: float, k: int = 41, d_model: int = 32):
+            super().__init__()
+            self.k, self.max_delay = k, 0.01 * fs
+            self.in_proj = torch.nn.Conv1d(mics, d_model, 1)
+            layer = torch.nn.TransformerEncoderLayer(d_model, 4, 64, batch_first=True)
+            self.encoder = torch.nn.TransformerEncoder(layer, 2)
+            self.out_proj = torch.nn.Linear(d_model, mics)
+            self.register_buffer("hamming", torch.hamming_window(k, periodic=False))
+            self.register_buffer("taps", torch.arange(k, dtype=torch.float32) - k // 2)
+
+        def forward(self, x):                                     # [B, M, T] -> [B, T]
+            h = self.encoder(self.in_proj(x).transpose(1, 2))     # [B, T, d]
+            delays = self.out_proj(h).clamp(0.0, self.max_delay)  # [B, T, M]
+            frames = F.pad(x, (self.k // 2, self.k // 2)).unfold(-1, self.k, 1)
+            arg = self.taps.view(1, 1, 1, -1) - delays.transpose(1, 2).unsqueeze(-1)
+            kern = torch.sinc(arg) * self.hamming                 # [B, M, T, k]
+            kern = kern / kern.sum(-1, keepdim=True).clamp_min(1e-8)
+            return ((frames * kern).sum(-1) ** 2).sum(1)
+
+    torch.manual_seed(0)
+    bf = SincBeamformer(channels, fs)
+    encoder = get_peft_model(
+        HFModel(HFConfig()),
+        LoraConfig(r=8, lora_alpha=16, target_modules=["q_proj", "v_proj"],
+                   lora_dropout=0.05))
+    # peft freezes the conv feature encoder's params but leaves HF's _requires_grad flag
+    # set; the transformers version pinned here then raises on grad-carrying inputs
+    # ("requires_grad flags of leaf variables") in train mode. Freezing the feature
+    # extractor reconciles the flag with what peft already did — identical compute,
+    # gradients still flow through the convs to the beamformer.
+    encoder.get_base_model().feature_extractor._freeze_parameters()
+    head = torch.nn.Sequential(torch.nn.Linear(768, 256), torch.nn.ReLU(),
+                               torch.nn.Linear(256, 2))
+    params = [p for m in (bf, encoder, head) for p in m.parameters() if p.requires_grad]
+    opt = torch.optim.AdamW(params, lr=1e-4)
+    x = torch.from_numpy(np.moveaxis(waves, (0, 1, 2), (2, 1, 0)).copy())  # [B, M, T]
+    y = torch.from_numpy((np.arange(batch_size) % 2).astype(np.int64))
+
+    def step():
+        opt.zero_grad(set_to_none=True)
+        logits = head(encoder(bf(x)).last_hidden_state.mean(dim=1))
+        loss = torch.nn.functional.cross_entropy(logits, y)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(params, 5.0)
+        opt.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        step()
+    train_time = (time.perf_counter() - t0) / steps
+
+    per_window = train_time / batch_size + aug_time
+    result = json.loads(BASELINE_FILE.read_text()) if BASELINE_FILE.exists() else {}
+    result.update({
+        "reference_vest_windows_per_sec": round(1.0 / per_window, 4),
+        "vest_train_step_s_per_batch": round(train_time, 3),
+        "vest_augment_s_per_window": round(aug_time, 4),
+        "vest_batch_size": batch_size,
+        "vest_note": ("reference-equivalent torch vest path (sinc beamformer + peft-LoRA "
+                      "wav2vec2-base + host augmentation) measured on this host's CPU; "
+                      "the reference repo publishes no numbers and no GPU exists here"),
+    })
+    BASELINE_FILE.write_text(json.dumps(result, indent=2))
+    return result
+
+
+def measure_reference_fusion_baseline(batch_size: int = 4, steps: int = 1,
+                                      window_s: float = 4.0, fs: int = 4125) -> dict:
+    """Measure the reference-equivalent two-branch PCG+ECG fusion path with torch.
+
+    Reference classify/fusion.py:17-38: one wav2vec2-base per channel, concatenated
+    mean-pooled features through the (2h -> h -> classes, h=128) MLP; both encoders train
+    in the step (the e2e configuration ``run_fusion_bench`` measures). Per-window NumPy
+    preprocessing (PCG + ECG chains) included, as in ``measure_reference_baseline``.
+    """
+    import torch
+    from transformers import Wav2Vec2Config as HFConfig, Wav2Vec2Model as HFModel
+
+    from wav2vec_heart_sounds_tpu.signal import preprocess_ecg, preprocess_pcg
+
+    fs_in = 2000
+    win_len = int(round(window_s * fs))
+    raw = _raw_batch(batch_size, fs_in, window_s)
+
+    t0 = time.perf_counter()
+    pcg = np.stack([preprocess_pcg(raw[i], fs_in, fs)[:win_len]
+                    for i in range(batch_size)])
+    ecg = np.stack([preprocess_ecg(raw[i], fs_in, fs)[:win_len]
+                    for i in range(batch_size)])
+    prep_time = time.perf_counter() - t0
+
+    torch.manual_seed(0)
+    enc_pcg, enc_ecg = HFModel(HFConfig()), HFModel(HFConfig())
+    head = torch.nn.Sequential(torch.nn.Linear(2 * 768, 256), torch.nn.ReLU(),
+                               torch.nn.Linear(256, 128), torch.nn.ReLU(),
+                               torch.nn.Linear(128, 2))
+    params = (list(enc_pcg.parameters()) + list(enc_ecg.parameters())
+              + list(head.parameters()))
+    opt = torch.optim.AdamW(params, lr=1e-4)
+    xp = torch.from_numpy(pcg.astype(np.float32))
+    xe = torch.from_numpy(ecg.astype(np.float32))
+    y = torch.from_numpy((np.arange(batch_size) % 2).astype(np.int64))
+
+    def step():
+        opt.zero_grad(set_to_none=True)
+        feats = torch.cat([enc_pcg(xp).last_hidden_state.mean(dim=1),
+                           enc_ecg(xe).last_hidden_state.mean(dim=1)], dim=-1)
+        loss = torch.nn.functional.cross_entropy(head(feats), y)
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(params, 5.0)
+        opt.step()
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        step()
+    train_time = (time.perf_counter() - t0) / steps
+
+    per_window = (train_time + prep_time) / batch_size
+    result = json.loads(BASELINE_FILE.read_text()) if BASELINE_FILE.exists() else {}
+    result.update({
+        "reference_fusion_windows_per_sec": round(1.0 / per_window, 4),
+        "fusion_train_step_s_per_batch": round(train_time, 3),
+        "fusion_preproc_s_per_window": round(prep_time / batch_size, 4),
+        "fusion_batch_size": batch_size,
+        "fusion_note": ("reference-equivalent torch two-branch fusion (2x wav2vec2-base "
+                        "+ MLP head, both branches training) measured on this host's "
+                        "CPU; no GPU exists here"),
+    })
+    BASELINE_FILE.write_text(json.dumps(result, indent=2))
+    return result
+
+
 def _wait_for_backend(max_wait_s: float = 900.0, probe_timeout_s: float = 240.0) -> bool:
     """Probe JAX backend init in a child process until it succeeds or the budget runs out.
 
@@ -861,7 +1045,11 @@ def _wait_for_backend(max_wait_s: float = 900.0, probe_timeout_s: float = 240.0)
 
 
 if __name__ == "__main__":
-    if "--measure-baseline-wavegrad" in sys.argv:
+    if "--measure-baseline-vest" in sys.argv:
+        print(json.dumps(measure_reference_vest_baseline()))
+    elif "--measure-baseline-fusion" in sys.argv:
+        print(json.dumps(measure_reference_fusion_baseline()))
+    elif "--measure-baseline-wavegrad" in sys.argv:
         print(json.dumps(measure_reference_wavegrad_baseline()))
     elif "--measure-baseline-gen" in sys.argv:
         print(json.dumps(measure_reference_gen_baseline()))
