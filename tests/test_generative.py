@@ -196,6 +196,34 @@ def test_generate_dataset_writes_manifest(tmp_path):
     assert all(os.path.exists(out / f) for f in df["file"])
 
 
+def test_generate_dataset_batched_tasks(tmp_path):
+    """Batched sampling: (item, copy) tasks chunked at a static batch, pads discarded."""
+    from wav2vec_heart_sounds_tpu.train.generate import generate_dataset
+    import pandas as pd
+
+    model, variables, b = _dw_model_and_batch()
+    items = [{k: (v[i] if k != "label" else int(v[i])) for k, v in b.items()}
+             | {"patient": f"p{i}"} for i in range(2)]
+    ds = _ListDataset(items)
+    seen_batches = []
+
+    class Spec:
+        @staticmethod
+        def sample(m, v, c, l, k, **kw):
+            seen_batches.append(np.asarray(c).shape[0])
+            return diffwave_sample(m, v, c, l, k, **kw)
+
+    out = tmp_path / "genb"
+    manifest = generate_dataset(model, variables, Spec, ds, str(out), per_item=3,
+                                batch_size=4)
+    df = pd.read_csv(manifest)
+    assert len(df) == 6                       # 2 items x 3 copies, pads discarded
+    assert len(set(df["file"])) == 6
+    import os
+    assert all(os.path.exists(out / f) for f in df["file"])
+    assert seen_batches == [4, 4]             # tail chunk padded to the static batch
+
+
 def test_registry_specs():
     from wav2vec_heart_sounds_tpu.models.registry import get_spec
     for name, hop, mels in [("diffwave", 256, 80), ("wavegrad", 300, 128)]:

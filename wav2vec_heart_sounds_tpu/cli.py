@@ -143,8 +143,10 @@ def _init_generator(model, model_name, item, key):
 @click.option("--num-steps", type=int, default=None, help="sub-sampled steps (WaveGrad)")
 @click.option("--crop-frames", type=int, default=None)
 @click.option("--seed", type=int, default=0)
+@click.option("--sample-batch", type=int, default=8,
+              help="(item, copy) tasks per batched reverse-diffusion run")
 def gen_sample(model_name, weights, data_dir, csv_path, output_dir, num_classes, per_item,
-               fast, num_steps, crop_frames, seed):
+               fast, num_steps, crop_frames, seed, sample_batch):
     """Generate a synthetic dataset from a trained generator."""
     import jax
 
@@ -166,7 +168,8 @@ def gen_sample(model_name, weights, data_dir, csv_path, output_dir, num_classes,
     kwargs = ({"fast": fast} if model_name == "diffwave"
               else ({"num_steps": num_steps} if num_steps else {}))
     path = generate_dataset(model, {"params": trainer.params}, spec, dataset, output_dir,
-                            per_item=per_item, seed=seed, sampler_kwargs=kwargs)
+                            per_item=per_item, seed=seed, sampler_kwargs=kwargs,
+                            batch_size=sample_batch)
     click.echo(f"Wrote manifest {path}")
 
 
