@@ -140,3 +140,17 @@ def test_packed_qkv_vjp_matches_autodiff():
     gp = jax.grad(loss_packed)(packed)
     gr = jax.grad(loss_ref)(packed)
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=3e-5, rtol=1e-4)
+
+
+def test_head_block_budget_env(monkeypatch):
+    """The W2VHS_ATTN_VMEM_MB sweep knob must actually change the head block."""
+    from wav2vec_heart_sounds_tpu.ops.pallas.attention import _head_block, _pad_len
+
+    tp = _pad_len(200)          # wav2vec2 CinC frame count
+    monkeypatch.delenv("W2VHS_ATTN_VMEM_MB", raising=False)
+    default_hb = _head_block(12, tp)
+    assert 12 % default_hb == 0
+    assert default_hb * 7 * tp * tp * 4 <= 10 * 1024 * 1024
+    monkeypatch.setenv("W2VHS_ATTN_VMEM_MB", "16")
+    assert _head_block(12, tp) == 12    # all heads in one program
+    assert _head_block(12, tp) != default_hb
