@@ -22,7 +22,11 @@ run_mode () {
         | grep -v -e WARNING -e Warning | tail -2 ) | tee -a "$OUT"
 }
 
+# Priority order (the relay may return with little round time left): headline confirm,
+# then the last unmeasured round-2 lever (d) — attention head-block A/B with all 12 heads
+# per program — then the three never-benched flagship configs, then the gen modes.
 run_mode train 2400
+run_mode train 2400 W2VHS_ATTN_VMEM_MB=16
 run_mode vest 3600
 run_mode vest 3600 W2VHS_VEST_DEVAUG=1
 run_mode fusion 3000
@@ -30,6 +34,4 @@ run_mode gen-train 2400
 run_mode gen-train-wavegrad 2400
 run_mode gen 1800
 run_mode gen-wavegrad 1800
-# Staged round-2 lever (d): attention head-block sweep — all 12 heads per program.
-run_mode train 2400 W2VHS_ATTN_VMEM_MB=16
 echo "=== sweep done $(date +%H:%M:%S)"
