@@ -20,11 +20,15 @@ cd "$(dirname "$0")/.."
 while true; do
     if grep -q "sweep done" "$LOG" 2>/dev/null; then
         if grep -q "extras done" "$EXTRAS_LOG" 2>/dev/null; then
+            if ! grep -q "levers done" /tmp/round3_levers.log 2>/dev/null; then
+                echo "=== supervisor: starting lever A/Bs $(date +%H:%M:%S)" >> "$LOG"
+                bash scripts/round3_levers.sh >> /tmp/round3_levers.log 2>&1
+            fi
             if ! grep -q "trace done" /tmp/round3_trace.log 2>/dev/null; then
                 echo "=== supervisor: starting trace capture $(date +%H:%M:%S)" >> "$LOG"
                 bash scripts/round3_trace.sh >> /tmp/round3_trace.log 2>&1
             fi
-            echo "=== supervisor: sweep + extras + trace complete $(date +%H:%M:%S)" >> "$LOG"
+            echo "=== supervisor: sweep + extras + levers + trace complete $(date +%H:%M:%S)" >> "$LOG"
             exit 0
         fi
         if ! ps -ef | grep round3_extras | grep -qv grep; then

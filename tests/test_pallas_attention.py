@@ -154,3 +154,69 @@ def test_head_block_budget_env(monkeypatch):
     monkeypatch.setenv("W2VHS_ATTN_VMEM_MB", "16")
     assert _head_block(12, tp) == 12    # all heads in one program
     assert _head_block(12, tp) != default_hb
+
+
+def test_defer_norm_matches_reference(monkeypatch):
+    """W2VHS_ATTN_DN=1 (normalisation deferred to the [H,T,d] output) is numerics-neutral."""
+    monkeypatch.setenv("W2VHS_ATTN_DN", "1")
+    q, k, v = _qkv(t=57, seed=5)
+    out = flash_attention(q, k, v, SEED, 0.0, None, True)
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_defer_norm_vjp_matches_autodiff(monkeypatch):
+    monkeypatch.setenv("W2VHS_ATTN_DN", "1")
+    q, k, v = _qkv(t=40, seed=6)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(jnp.sin(flash_attention(q, k, v, SEED, 0.0, None, True)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.sin(reference_attention(q, k, v)))
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5, rtol=1e-4)
+
+
+def test_defer_norm_packed_qkv(monkeypatch):
+    from wav2vec_heart_sounds_tpu.ops.pallas.attention import flash_attention_qkv
+
+    monkeypatch.setenv("W2VHS_ATTN_DN", "1")
+    q, k, v = _qkv(t=57, seed=7)
+    packed = jnp.concatenate([q, k, v], axis=1)
+    out = flash_attention_qkv(packed, SEED, 0.0, None, True)
+    ref = reference_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+    def loss_packed(p):
+        return jnp.sum(jnp.sin(flash_attention_qkv(p, SEED, 0.0, None, True)))
+
+    def loss_ref(p):
+        h = p.shape[1] // 3
+        return jnp.sum(jnp.sin(reference_attention(p[:, :h], p[:, h:2 * h], p[:, 2 * h:])))
+
+    gp = jax.grad(loss_packed)(packed)
+    gr = jax.grad(loss_ref)(packed)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=3e-5, rtol=1e-4)
+
+
+def test_defer_norm_dropout_bwd_uses_same_mask(monkeypatch):
+    """Deferred-norm dropout: same per-program mask fwd/bwd (finite-difference on v)."""
+    monkeypatch.setenv("W2VHS_ATTN_DN", "1")
+    q, k, v = _qkv(t=32, seed=8)
+    rate = 0.25
+    seed = jnp.asarray(11, jnp.int32)
+    try:
+        out, vjp_fn = jax.vjp(
+            lambda q, k, v: flash_attention(q, k, v, seed, rate, None, True), q, k, v)
+    except Exception as e:
+        pytest.skip(f"in-kernel PRNG unavailable in interpret mode: {type(e).__name__}")
+    g = jnp.ones_like(out)
+    dq, dk, dv = vjp_fn(g)
+    eps = 1e-3
+    f = lambda vv: float(jnp.sum(flash_attention(q, k, vv, seed, rate, None, True)))
+    fd = (f(v.at[0, 0, 5, 3].add(eps)) - f(v.at[0, 0, 5, 3].add(-eps))) / (2 * eps)
+    np.testing.assert_allclose(float(dv[0, 0, 5, 3]), fd, rtol=5e-2, atol=1e-3)

@@ -48,3 +48,32 @@ def test_uneven_row_blocks():
     out = dense_gelu_dropout(x, w, b, SEED, 0.0, True)
     ref = reference_dense_gelu_dropout(x, w, b, None, 0.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
+
+
+def test_tanh_act_matches_tanh_reference(monkeypatch):
+    """W2VHS_FFN_TANH=1 swaps the in-kernel GELU for the tanh approximation."""
+    monkeypatch.setenv("W2VHS_FFN_TANH", "1")
+    x, w, b = _case(seed=3)
+    out = dense_gelu_dropout(x, w, b, SEED, 0.0, True)
+    pre = jnp.dot(x, w) + b
+    ref = jax.nn.gelu(pre, approximate=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
+    # and it is within the documented 1e-3 of the erf form
+    erf_ref = jax.nn.gelu(pre, approximate=False)
+    assert float(jnp.max(jnp.abs(out - erf_ref))) < 1e-3
+
+
+def test_tanh_act_vjp_matches_autodiff(monkeypatch):
+    monkeypatch.setenv("W2VHS_FFN_TANH", "1")
+    x, w, b = _case(seed=4)
+
+    def loss_fused(x, w, b):
+        return jnp.sum(jnp.sin(dense_gelu_dropout(x, w, b, SEED, 0.0, True)))
+
+    def loss_ref(x, w, b):
+        return jnp.sum(jnp.sin(jax.nn.gelu(jnp.dot(x, w) + b, approximate=True)))
+
+    gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(x, w, b)
+    for a, r in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=2e-5, rtol=1e-4)

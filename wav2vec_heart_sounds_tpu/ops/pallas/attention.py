@@ -72,55 +72,111 @@ def _keep_mask(shape, rate: float):
     return pltpu.bitcast(bits, jnp.uint32) >= threshold
 
 
-def _probs(q, k, t: int, scale: float):
-    """Masked softmax probabilities for one batch element: [H, Tp, Tp] float32."""
+def _probs_parts(q, k, t: int, scale: float):
+    """Unnormalised softmax numerator ``e`` and row sums ``l``: [H, Tp, Tp] / [H, Tp, 1]."""
     scores = jax.lax.dot_general(q, k, _BH, preferred_element_type=jnp.float32) * scale
     col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 2)
     scores = jnp.where(col < t, scores, NEG_INF)
     m = jnp.max(scores, axis=-1, keepdims=True)
-    p = jnp.exp(scores - m)
-    return p / jnp.sum(p, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    return e, jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _probs(q, k, t: int, scale: float):
+    """Masked softmax probabilities for one batch element: [H, Tp, Tp] float32."""
+    e, l = _probs_parts(q, k, t, scale)
+    return e / l
+
+
+def _defer_norm() -> bool:
+    """Defer the softmax normalisation to the [H, T, d] output (W2VHS_ATTN_DN=1).
+
+    ``p = e / l`` is a full [hb, Tp, Tp] VPU divide in forward AND in the backward
+    recompute; dividing the 15x-smaller dot outputs by ``l`` instead is algebraically
+    identical (dropout commutes: the kept entries are scaled by the same 1/(l(1-r))).
+    Gated off until the full-step A/B on hardware lands (scripts/round3_levers.sh)."""
+    import os
+
+    return os.environ.get("W2VHS_ATTN_DN", "0") == "1"
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, t: int, scale: float,
-                rate: float, bthd: bool = False):
+                rate: float, bthd: bool = False, defer: bool = False):
     load = (lambda r: jnp.swapaxes(r[0], 0, 1)) if bthd else (lambda r: r[0])
     q = load(q_ref).astype(jnp.float32)
     k = load(k_ref).astype(jnp.float32)
     v = load(v_ref).astype(jnp.float32)
-    probs = _probs(q, k, t, scale)
-    if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * pl.num_programs(1)
-                        + pl.program_id(1))
-        keep = _keep_mask(probs.shape, rate)
-        probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
-    out = jax.lax.dot_general(probs, v, _PV, preferred_element_type=jnp.float32)
+    if defer:
+        e, l = _probs_parts(q, k, t, scale)
+        denom = l
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * pl.num_programs(1)
+                            + pl.program_id(1))
+            e = jnp.where(_keep_mask(e.shape, rate), e, 0.0)
+            denom = l * (1.0 - rate)
+        out = jax.lax.dot_general(e, v, _PV, preferred_element_type=jnp.float32) / denom
+    else:
+        probs = _probs(q, k, t, scale)
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * pl.num_programs(1)
+                            + pl.program_id(1))
+            keep = _keep_mask(probs.shape, rate)
+            probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
+        out = jax.lax.dot_general(probs, v, _PV, preferred_element_type=jnp.float32)
     o_ref[0] = (jnp.swapaxes(out, 0, 1) if bthd else out).astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
-                t: int, scale: float, rate: float, bthd: bool = False):
+                t: int, scale: float, rate: float, bthd: bool = False,
+                defer: bool = False):
     load = (lambda r: jnp.swapaxes(r[0], 0, 1)) if bthd else (lambda r: r[0])
     q = load(q_ref).astype(jnp.float32)
     k = load(k_ref).astype(jnp.float32)
     v = load(v_ref).astype(jnp.float32)
     g = load(g_ref).astype(jnp.float32)
 
-    probs = _probs(q, k, t, scale)
-    if rate > 0.0:
-        pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * pl.num_programs(1)
-                        + pl.program_id(1))
-        keep = _keep_mask(probs.shape, rate)
-        dropped = jnp.where(keep, probs / (1.0 - rate), 0.0)
+    if defer:
+        # Same math as below with p = e / l, the 1/l factors pulled out of the full-size
+        # [hb, Tp, Tp] tensors and attached to the small [hb, Tp, d] / [hb, Tp, 1] sides:
+        #   dv[k] = sum_q p_d[q,k] g[q]            -> dot(e_kept, g / l) / (1-r)
+        #   ds    = p * (dp - sum_k dp*p)          -> ds_un = e * (dp - u / l), u = sum dp*e
+        #   dq[q] = dot(ds, k)[q] * scale          -> dot(ds_un, k)[q] * scale / l_q
+        #   dk[k] = sum_q ds[q,k] q[q] * scale     -> dot(ds_un, q / l) * scale
+        e, l = _probs_parts(q, k, t, scale)
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * pl.num_programs(1)
+                            + pl.program_id(1))
+            keep = _keep_mask(e.shape, rate)
+            inv = 1.0 / (1.0 - rate)
+            ed = jnp.where(keep, e, 0.0)
+        else:
+            keep, inv, ed = None, 1.0, e
+        dv = jax.lax.dot_general(ed, g / l, _BT,
+                                 preferred_element_type=jnp.float32) * inv
+        dpd = jax.lax.dot_general(g, v, _BH, preferred_element_type=jnp.float32)
+        dp = jnp.where(keep, dpd, 0.0) * inv if rate > 0.0 else dpd
+        u = jnp.sum(dp * e, axis=-1, keepdims=True)
+        ds_un = e * (dp - u / l)
+        dq = jax.lax.dot_general(ds_un, k, _PV,
+                                 preferred_element_type=jnp.float32) * scale / l
+        dk = jax.lax.dot_general(ds_un, q / l, _BT,
+                                 preferred_element_type=jnp.float32) * scale
     else:
-        dropped = probs
+        probs = _probs(q, k, t, scale)
+        if rate > 0.0:
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0) * pl.num_programs(1)
+                            + pl.program_id(1))
+            keep = _keep_mask(probs.shape, rate)
+            dropped = jnp.where(keep, probs / (1.0 - rate), 0.0)
+        else:
+            dropped = probs
 
-    dv = jax.lax.dot_general(dropped, g, _BT, preferred_element_type=jnp.float32)
-    dpd = jax.lax.dot_general(g, v, _BH, preferred_element_type=jnp.float32)
-    dp = jnp.where(keep, dpd / (1.0 - rate), 0.0) if rate > 0.0 else dpd
-    ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
-    dq = jax.lax.dot_general(ds, k, _PV, preferred_element_type=jnp.float32) * scale
-    dk = jax.lax.dot_general(ds, q, _BT, preferred_element_type=jnp.float32) * scale
+        dv = jax.lax.dot_general(dropped, g, _BT, preferred_element_type=jnp.float32)
+        dpd = jax.lax.dot_general(g, v, _BH, preferred_element_type=jnp.float32)
+        dp = jnp.where(keep, dpd / (1.0 - rate), 0.0) if rate > 0.0 else dpd
+        ds = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+        dq = jax.lax.dot_general(ds, k, _PV, preferred_element_type=jnp.float32) * scale
+        dk = jax.lax.dot_general(ds, q, _BT, preferred_element_type=jnp.float32) * scale
     if bthd:
         dq, dk, dv = (jnp.swapaxes(a, 0, 1) for a in (dq, dk, dv))
     dq_ref[0] = dq.astype(dq_ref.dtype)
@@ -184,13 +240,15 @@ def _flash_fwd(q, k, v, seed, dropout_rate, t, interpret, layout="bhtd"):
     # bthd blocks put (H, d) in the tiled minor positions; Pallas requires those to be
     # 8/128 multiples OR the full array dims, so bthd always takes all heads per program.
     hb = h if bthd else _head_block(h, tp)
+    dn = _defer_norm()
     spec = _blockspec(layout, hb, tp, d)
     out_shape = (b, tp, h, d) if bthd else (b, h, tp, d)
     out = pl.pallas_call(
-        partial(_fwd_kernel, t=t_eff, scale=scale, rate=dropout_rate, bthd=bthd),
+        partial(_fwd_kernel, t=t_eff, scale=scale, rate=dropout_rate, bthd=bthd,
+                defer=dn),
         # Statics baked into the kernel closure are invisible in the payload-stripped
         # StableHLO the AOT cache keys on; the name pins them (utils/aot.py).
-        name=f"flash_fwd_t{t_eff}_r{dropout_rate}_{layout}_hb{hb}",
+        name=f"flash_fwd_t{t_eff}_r{dropout_rate}_{layout}_hb{hb}_dn{int(dn)}",
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, h // hb),
@@ -217,11 +275,13 @@ def _flash_bwd(dropout_rate, t, interpret, layout, residuals, g):
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
 
     hb = h if bthd else _head_block(h, tp)
+    dn = _defer_norm()
     spec = _blockspec(layout, hb, tp, d)
     shape = jax.ShapeDtypeStruct((b, tp, h, d) if bthd else (b, h, tp, d), q.dtype)
     dq, dk, dv = pl.pallas_call(
-        partial(_bwd_kernel, t=t_eff, scale=scale, rate=dropout_rate, bthd=bthd),
-        name=f"flash_bwd_t{t_eff}_r{dropout_rate}_{layout}_hb{hb}",
+        partial(_bwd_kernel, t=t_eff, scale=scale, rate=dropout_rate, bthd=bthd,
+                defer=dn),
+        name=f"flash_bwd_t{t_eff}_r{dropout_rate}_{layout}_hb{hb}_dn{int(dn)}",
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, h // hb),
@@ -273,9 +333,10 @@ def _packed_fwd(qkv, seed, dropout_rate, t, interpret):
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
 
     hb = _head_block(h, tp)
+    dn = _defer_norm()
     out = pl.pallas_call(
-        partial(_fwd_kernel, t=t_eff, scale=scale, rate=dropout_rate),
-        name=f"flash_fwd_qkv_t{t_eff}_r{dropout_rate}_hb{hb}",
+        partial(_fwd_kernel, t=t_eff, scale=scale, rate=dropout_rate, defer=dn),
+        name=f"flash_fwd_qkv_t{t_eff}_r{dropout_rate}_hb{hb}_dn{int(dn)}",
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, h // hb),
@@ -301,11 +362,12 @@ def _packed_bwd(dropout_rate, t, interpret, residuals, g):
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
 
     hb = _head_block(h, tp)
+    dn = _defer_norm()
     spec = _blockspec("bhtd", hb, tp, d)
     shape = jax.ShapeDtypeStruct((b, h, tp, d), qkv.dtype)
     dq, dk, dv = pl.pallas_call(
-        partial(_bwd_kernel, t=t_eff, scale=scale, rate=dropout_rate),
-        name=f"flash_bwd_qkv_t{t_eff}_r{dropout_rate}_hb{hb}",
+        partial(_bwd_kernel, t=t_eff, scale=scale, rate=dropout_rate, defer=dn),
+        name=f"flash_bwd_qkv_t{t_eff}_r{dropout_rate}_hb{hb}_dn{int(dn)}",
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, h // hb),

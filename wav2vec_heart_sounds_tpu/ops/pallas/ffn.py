@@ -27,7 +27,19 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .conv import _gelu_exact, _gelu_grad_kernel
+from .conv import _gelu_exact, _gelu_grad_kernel, _gelu_tanh, _gelu_tanh_grad
+
+
+def _tanh_act() -> bool:
+    """Use the tanh-approximate GELU inside the FFN kernel (W2VHS_FFN_TANH=1).
+
+    The 12 layers evaluate ~708M FFN GELUs per B=96 step (plus gradients); the same
+    erf->tanh switch was the round's biggest win on the conv cascade (~45 w/s for
+    ~1.26B GELUs). |err| vs erf < 1e-3 — below one bf16 ulp at unit magnitude.
+    Gated off until the full-step A/B on hardware lands (scripts/round3_levers.sh)."""
+    import os
+
+    return os.environ.get("W2VHS_FFN_TANH", "0") == "1"
 
 
 def _block_rows(n: int, c: int) -> int:
@@ -49,22 +61,25 @@ def _keep(shape, rate: float):
     return bits >= threshold
 
 
-def _fwd_kernel(seed_ref, pre_ref, y_ref, *, rate: float):
+def _fwd_kernel(seed_ref, pre_ref, y_ref, *, rate: float, tanh: bool = False):
     if rate > 0.0:  # prng_seed is TPU-only; rate==0 paths must stay interpret-runnable
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-    h = _gelu_exact(pre_ref[...].astype(jnp.float32))
+    act = _gelu_tanh if tanh else _gelu_exact
+    h = act(pre_ref[...].astype(jnp.float32))
     if rate > 0.0:
         h = jnp.where(_keep(h.shape, rate), h / (1.0 - rate), 0.0)
     y_ref[...] = h.astype(y_ref.dtype)
 
 
-def _bwd_kernel(seed_ref, g_ref, pre_ref, dpre_ref, dbp_ref, *, rate: float, n: int):
+def _bwd_kernel(seed_ref, g_ref, pre_ref, dpre_ref, dbp_ref, *, rate: float, n: int,
+                tanh: bool = False):
     if rate > 0.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
     g = g_ref[...].astype(jnp.float32)
     if rate > 0.0:
         g = jnp.where(_keep(g.shape, rate), g / (1.0 - rate), 0.0)
-    dpre = g * _gelu_grad_kernel(pre_ref[...])
+    grad_fn = _gelu_tanh_grad if tanh else _gelu_grad_kernel
+    dpre = g * grad_fn(pre_ref[...])
     dpre_ref[...] = dpre.astype(dpre_ref.dtype)
     # Partial bias grad. Mask rows past n: the final block's tail rows read undefined
     # padding (OOB *writes* are dropped by Pallas, but this *reduction* would sum them).
@@ -97,12 +112,13 @@ def _fwd(x, w, b, seed, rate, interpret):
     pre = jnp.dot(x, w.astype(x.dtype)) + b.astype(x.dtype)
     n, c = pre.shape
     rows = _block_rows(n, c)
+    tanh = _tanh_act()
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     y = pl.pallas_call(
-        partial(_fwd_kernel, rate=rate),
+        partial(_fwd_kernel, rate=rate, tanh=tanh),
         # rate lives only in the kernel closure — the name pins it for the AOT cache key
         # (utils/aot.py strips backend_config payloads).
-        name=f"ffn_act_fwd_r{rate}_rows{rows}",
+        name=f"ffn_act_fwd_r{rate}_rows{rows}_tanh{int(tanh)}",
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(-(-n // rows),),
@@ -121,10 +137,11 @@ def _bwd(rate, interpret, residuals, g):
     n, c = pre.shape
     rows = _block_rows(n, c)
     grid = -(-n // rows)
+    tanh = _tanh_act()
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     dpre, dbp = pl.pallas_call(
-        partial(_bwd_kernel, rate=rate, n=n),
-        name=f"ffn_act_bwd_r{rate}_rows{rows}",
+        partial(_bwd_kernel, rate=rate, n=n, tanh=tanh),
+        name=f"ffn_act_bwd_r{rate}_rows{rows}_tanh{int(tanh)}",
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(grid,),
