@@ -20,14 +20,16 @@ def _case(n=48, cin=32, cout=64, seed=0):
     return x, w, b
 
 
-def test_forward_matches_reference_no_dropout():
+def test_forward_matches_reference_no_dropout(monkeypatch):
+    monkeypatch.setenv("W2VHS_FFN_TANH", "0")  # pin the erf path (tanh is the default)
     x, w, b = _case()
     out = dense_gelu_dropout(x, w, b, SEED, 0.0, True)
     ref = reference_dense_gelu_dropout(x, w, b, None, 0.0)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6, rtol=1e-5)
 
 
-def test_vjp_matches_autodiff_incl_bias():
+def test_vjp_matches_autodiff_incl_bias(monkeypatch):
+    monkeypatch.setenv("W2VHS_FFN_TANH", "0")
     x, w, b = _case(seed=1)
 
     def loss_fused(x, w, b):
@@ -42,7 +44,8 @@ def test_vjp_matches_autodiff_incl_bias():
         np.testing.assert_allclose(np.asarray(a), np.asarray(r), atol=2e-5, rtol=1e-4)
 
 
-def test_uneven_row_blocks():
+def test_uneven_row_blocks(monkeypatch):
+    monkeypatch.setenv("W2VHS_FFN_TANH", "0")
     # n not a multiple of the 8-row block granularity exercises the masked tail block
     x, w, b = _case(n=43, seed=2)
     out = dense_gelu_dropout(x, w, b, SEED, 0.0, True)
