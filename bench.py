@@ -216,6 +216,10 @@ def run_vest_bench(batch_size: int = 16, steps: int = 6, window_s: float = 2.0,
     from wav2vec_heart_sounds_tpu.train.classifier import SupervisedTrainer
 
     device_augment = os.environ.get("W2VHS_VEST_DEVAUG") == "1"
+    # Bisect knobs (round-3 vest crash): shrink the step without touching the code path.
+    batch_size = int(os.environ.get("W2VHS_VEST_BATCH", batch_size))
+    steps = int(os.environ.get("W2VHS_VEST_STEPS", steps))
+    window_s = float(os.environ.get("W2VHS_VEST_WINDOW_S", window_s))
     win_len = int(round(window_s * fs))
     aug_num = 15                                  # reference default expansion
     n_items = batch_size * (steps + warm + 2)

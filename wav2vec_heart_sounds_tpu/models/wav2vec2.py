@@ -236,6 +236,14 @@ class FusedDenseGeluDropout(nn.Module):
     into one backward pass (ops/pallas/ffn.py). Param names/shapes match ``nn.Dense``
     ("kernel"/"bias") so init and checkpoints are unchanged; eval/CPU paths use the plain
     Dense + exact GELU + dropout composition.
+
+    Accepted numerics mismatch: in bf16 the fused training path defaults to the tanh
+    GELU (ops/pallas/ffn._tanh_act; |err| < 1e-3, below one bf16 ulp at unit scale)
+    while this eval/CPU fallback keeps exact erf, matching the HF reference's
+    ``hidden_act='gelu'`` — so a model trained with tanh is evaluated with a very
+    slightly different activation. That mismatch is intentional: eval numerics stay
+    pinned to the HF goldens, and the train-time delta is below bf16 resolution.
+    ``W2VHS_FFN_TANH=0`` removes it entirely.
     """
     features: int
     rate: float

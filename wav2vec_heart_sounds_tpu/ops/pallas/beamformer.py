@@ -204,8 +204,13 @@ def delay_channel_reference(x: jnp.ndarray, delays: jnp.ndarray, kernel_size: in
 
 def delay_channel(x: jnp.ndarray, delays: jnp.ndarray, kernel_size: int,
                   window: np.ndarray) -> jnp.ndarray:
-    """Dispatch: fused Pallas kernel on TPU within the VMEM guard, XLA otherwise."""
+    """Dispatch: fused Pallas kernel on TPU within the VMEM guard, XLA otherwise.
+
+    ``W2VHS_NO_SINC=1`` forces the XLA reference — the vest-crash bisect knob (round-3
+    chain: the full vest step killed the TPU worker 6/6; this isolates the sinc kernel
+    from the flash_kv kernel, which has its own ``W2VHS_NO_FLASHKV`` gate)."""
     use_pallas = (jax.default_backend() != "cpu"
+                  and os.environ.get("W2VHS_NO_SINC") != "1"
                   and x.shape[1] <= VMEM_GUARD_T)
     if use_pallas:
         return sinc_delay(x, delays, kernel_size, tuple(float(w) for w in window))

@@ -1,4 +1,4 @@
-"""Fused FFN activation: bias + exact GELU + hardware-PRNG dropout, with fused backward.
+"""Fused FFN activation: bias + GELU (tanh default in bf16) + hardware-PRNG dropout.
 
 Why: in the B=96 trace the `intermediate_dense` forward dot runs at ~86 TF/s while its
 backward dots run at 162-190 — the erf-GELU epilogue XLA fuses into the forward matmul
@@ -11,10 +11,13 @@ accumulates per-block bias-grad partials in the same pass — so the standalone 
 the dropout-backward pass disappear. dx/dW remain plain XLA dots (their lowerings are
 already near peak).
 
-Numerics: the in-kernel GELU defaults to the tanh approximation (|err| vs erf < 1e-3,
-below one bf16 ulp at unit magnitude; measured +5.7 w/s on the full B=96 train step —
-W2VHS_FFN_TANH=0 restores the Abramowitz-Stegun rational erf, max err 1.5e-7); the
-non-kernel paths (CPU, eval) use XLA's exact erf.
+Numerics: when the compute dtype is bfloat16 the in-kernel GELU defaults to the tanh
+approximation (|err| vs erf < 1e-3, below one bf16 ulp at unit magnitude; measured
++5.7 w/s on the full B=96 train step — W2VHS_FFN_TANH=0 restores the Abramowitz-Stegun
+rational erf, max err 1.5e-7). Float32 compute always uses the rational erf: at f32
+resolution the tanh form's ~1e-3 error is 4 decades above the 1.5e-7 rational, so the
+dtype gate (same rule as models.wav2vec2._cascade_gelu) preserves f32 parity paths.
+The non-kernel paths (CPU, eval) use XLA's exact erf.
 Parameter layout matches ``nn.Dense`` ("kernel" [in, out], "bias" [out]) so checkpoint
 trees are unchanged (see models.wav2vec2.FusedDenseGeluDropout).
 """
@@ -32,17 +35,19 @@ from jax.experimental.pallas import tpu as pltpu
 from .conv import _gelu_exact, _gelu_grad_kernel, _gelu_tanh, _gelu_tanh_grad
 
 
-def _tanh_act() -> bool:
-    """Use the tanh-approximate GELU inside the FFN kernel (default; W2VHS_FFN_TANH=0 restores erf).
+def _tanh_act(dtype) -> bool:
+    """Use the tanh-approximate GELU inside the FFN kernel (bf16 default; W2VHS_FFN_TANH=0 restores erf).
 
     The 12 layers evaluate ~708M FFN GELUs per B=96 step (plus gradients); the same
     erf->tanh switch was the round's biggest win on the conv cascade (~45 w/s for
-    ~1.26B GELUs). |err| vs erf < 1e-3 — below one bf16 ulp at unit magnitude.
-    Full-step A/B on hardware: erf 560.6 w/s -> tanh 566.2 w/s (B=96 headline config),
-    so tanh is the default; eval and CPU paths keep XLA's exact erf as before."""
+    ~1.26B GELUs). |err| vs erf < 1e-3 — below one bf16 ulp at unit magnitude, which is
+    why the default is gated on the compute dtype: f32 runs keep the 1.5e-7 rational erf
+    (the tanh error would be 4 decades above f32 resolution), same rule as
+    models.wav2vec2._cascade_gelu. Full-step A/B on hardware: erf 560.6 w/s -> tanh
+    566.2 w/s (B=96 bf16 headline config); eval and CPU paths keep XLA's exact erf."""
     import os
 
-    return os.environ.get("W2VHS_FFN_TANH", "1") == "1"
+    return dtype == jnp.bfloat16 and os.environ.get("W2VHS_FFN_TANH", "1") == "1"
 
 
 def _block_rows(n: int, c: int) -> int:
@@ -115,7 +120,7 @@ def _fwd(x, w, b, seed, rate, interpret):
     pre = jnp.dot(x, w.astype(x.dtype)) + b.astype(x.dtype)
     n, c = pre.shape
     rows = _block_rows(n, c)
-    tanh = _tanh_act()
+    tanh = _tanh_act(pre.dtype)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     y = pl.pallas_call(
         partial(_fwd_kernel, rate=rate, tanh=tanh),
@@ -140,7 +145,7 @@ def _bwd(rate, interpret, residuals, g):
     n, c = pre.shape
     rows = _block_rows(n, c)
     grid = -(-n // rows)
-    tanh = _tanh_act()
+    tanh = _tanh_act(pre.dtype)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
     dpre, dbp = pl.pallas_call(
         partial(_bwd_kernel, rate=rate, n=n, tanh=tanh),
