@@ -41,8 +41,11 @@ def _raw_batch(batch_size: int, fs_in: int, seconds: float, seed: int = 0) -> np
     return batch.astype(np.float32)
 
 
-def run_gen_bench(batch_size: int = 8, steps: int = 3) -> dict:
-    """DiffWave fast-sampling throughput: generated audio-seconds per wall second."""
+def run_gen_bench(batch_size: int = 16, steps: int = 3) -> dict:
+    """DiffWave fast-sampling throughput: generated audio-seconds per wall second.
+
+    B=16 is the measured TPU optimum (round-3 sweep, docs/artifacts/r3/chain.log:
+    B=8 -> 72.4, B=16 -> 102.9, B=32 -> 39.9 audio-s/s memory cliff)."""
     import jax
     import jax.numpy as jnp
 

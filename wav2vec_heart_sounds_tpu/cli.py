@@ -143,8 +143,9 @@ def _init_generator(model, model_name, item, key):
 @click.option("--num-steps", type=int, default=None, help="sub-sampled steps (WaveGrad)")
 @click.option("--crop-frames", type=int, default=None)
 @click.option("--seed", type=int, default=0)
-@click.option("--sample-batch", type=int, default=8,
-              help="(item, copy) tasks per batched reverse-diffusion run")
+@click.option("--sample-batch", type=int, default=16,
+              help="(item, copy) tasks per batched reverse-diffusion run "
+                   "(16 = measured TPU optimum; 32 halves throughput — see PERF.md)")
 def gen_sample(model_name, weights, data_dir, csv_path, output_dir, num_classes, per_item,
                fast, num_steps, crop_frames, seed, sample_batch):
     """Generate a synthetic dataset from a trained generator."""
