@@ -142,6 +142,52 @@ def test_packed_qkv_vjp_matches_autodiff():
     np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=3e-5, rtol=1e-4)
 
 
+def test_packed_qkv_out_bthd_matches_unpacked():
+    """out_layout='bthd' emits [B, T, H, d] with identical numerics (round-4 layout work)."""
+    from wav2vec_heart_sounds_tpu.ops.pallas.attention import flash_attention_qkv
+
+    q, k, v = _qkv(t=57, seed=3)
+    packed = jnp.concatenate([q, k, v], axis=1)          # [B, 3H, T, d]
+    out = flash_attention_qkv(packed, SEED, 0.0, None, True, "bthd")
+    ref = jnp.swapaxes(reference_attention(q, k, v), 1, 2)   # [B, T, H, d]
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_packed_qkv_out_bthd_vjp_matches_autodiff():
+    from wav2vec_heart_sounds_tpu.ops.pallas.attention import flash_attention_qkv
+
+    q, k, v = _qkv(t=40, seed=4)
+    packed = jnp.concatenate([q, k, v], axis=1)
+
+    def loss_packed(p):
+        return jnp.sum(jnp.sin(flash_attention_qkv(p, SEED, 0.0, None, True, "bthd")))
+
+    def loss_ref(p):
+        h = p.shape[1] // 3
+        return jnp.sum(jnp.sin(jnp.swapaxes(
+            reference_attention(p[:, :h], p[:, h:2 * h], p[:, 2 * h:]), 1, 2)))
+
+    gp = jax.grad(loss_packed)(packed)
+    gr = jax.grad(loss_ref)(packed)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gr), atol=3e-5, rtol=1e-4)
+
+
+def test_model_out_bthd_gate_matches_default(monkeypatch):
+    """The W2VHS_ATTN_OUT=bthd model path is numerically identical to the default.
+
+    CPU falls back to the reference einsum, so exercise the packed kernel explicitly
+    via interpret mode at the model's real head geometry (12 heads x 64)."""
+    from wav2vec_heart_sounds_tpu.ops.pallas.attention import flash_attention_qkv
+
+    rng = np.random.default_rng(7)
+    packed = jnp.asarray(rng.normal(size=(2, 36, 24, 64)), jnp.float32)
+    a = flash_attention_qkv(packed, SEED, 0.0, None, True, "bhtd")
+    b = flash_attention_qkv(packed, SEED, 0.0, None, True, "bthd")
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(a, 1, 2)), np.asarray(b),
+                               atol=1e-6)
+
+
 def test_head_block_budget_env(monkeypatch):
     """The W2VHS_ATTN_VMEM_MB sweep knob must actually change the head block."""
     from wav2vec_heart_sounds_tpu.ops.pallas.attention import _head_block, _pad_len

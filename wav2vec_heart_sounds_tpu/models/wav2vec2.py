@@ -626,10 +626,18 @@ class SelfAttention(nn.Module):
             if rate > 0.0:
                 seed = jax.random.randint(self.make_rng("dropout"), (), 0,
                                           jnp.iinfo(jnp.int32).max)
+            # out_layout="bthd": the kernel emits [B, T, H, hd] directly — the
+            # post-kernel transpose disappears (fwd + the cotangent's twin in bwd) and
+            # the out-projection reshape becomes a free bitcast. Targets the trace's
+            # 17.5 ms layout bucket (round-4; gated until the full-step A/B lands —
+            # W2VHS_ATTN_OUT=bthd enables).
+            out_bthd = os.environ.get("W2VHS_ATTN_OUT", "bhtd") == "bthd"
             out = flash_attention_qkv(qkv, seed, rate, t_eff,
-                                      jax.default_backend() == "cpu")
-            out = jnp.swapaxes(out, 1, 2).astype(dt)       # [B, T, H, hd]
-            out = out.reshape(out.shape[0], out.shape[1], d)
+                                      jax.default_backend() == "cpu",
+                                      "bthd" if out_bthd else "bhtd")
+            if not out_bthd:
+                out = jnp.swapaxes(out, 1, 2)              # [B, T, H, hd]
+            out = out.astype(dt).reshape(out.shape[0], out.shape[1], d)
             return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)
 
         def dense(w, b_):

@@ -101,7 +101,13 @@ def _defer_norm() -> bool:
 
 
 def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, t: int, scale: float,
-                rate: float, bthd: bool = False, defer: bool = False):
+                rate: float, bthd: bool = False, defer: bool = False,
+                out_bthd: bool | None = None):
+    # bthd historically swapped loads AND the store together; out_bthd decouples the
+    # store side so the packed-QKV path can keep bhtd reads (no input relayout) while
+    # emitting [T, H, d] blocks (kills the post-kernel XLA transpose + makes the
+    # out-projection's [B, T, H*d] reshape a free bitcast).
+    out_bthd = bthd if out_bthd is None else out_bthd
     load = (lambda r: jnp.swapaxes(r[0], 0, 1)) if bthd else (lambda r: r[0])
     q = load(q_ref).astype(jnp.float32)
     k = load(k_ref).astype(jnp.float32)
@@ -123,17 +129,21 @@ def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, t: int, scale: float,
             keep = _keep_mask(probs.shape, rate)
             probs = jnp.where(keep, probs / (1.0 - rate), 0.0)
         out = jax.lax.dot_general(probs, v, _PV, preferred_element_type=jnp.float32)
-    o_ref[0] = (jnp.swapaxes(out, 0, 1) if bthd else out).astype(o_ref.dtype)
+    o_ref[0] = (jnp.swapaxes(out, 0, 1) if out_bthd else out).astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *,
                 t: int, scale: float, rate: float, bthd: bool = False,
-                defer: bool = False):
+                defer: bool = False, out_bthd: bool | None = None):
+    # out_bthd: the *output cotangent* g arrives in [T, H, d] blocks (the forward
+    # emitted bthd); q/k/v reads and dq/dk/dv writes keep the ``bthd`` layout flag.
+    out_bthd = bthd if out_bthd is None else out_bthd
     load = (lambda r: jnp.swapaxes(r[0], 0, 1)) if bthd else (lambda r: r[0])
+    load_g = (lambda r: jnp.swapaxes(r[0], 0, 1)) if out_bthd else (lambda r: r[0])
     q = load(q_ref).astype(jnp.float32)
     k = load(k_ref).astype(jnp.float32)
     v = load(v_ref).astype(jnp.float32)
-    g = load(g_ref).astype(jnp.float32)
+    g = load_g(g_ref).astype(jnp.float32)
 
     if defer:
         # Same math as below with p = e / l, the 1/l factors pulled out of the full-size
@@ -299,9 +309,10 @@ def _flash_bwd(dropout_rate, t, interpret, layout, residuals, g):
 flash_attention.defvjp(_flash_fwd, _flash_bwd)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def flash_attention_qkv(qkv: jnp.ndarray, seed: jnp.ndarray, dropout_rate: float = 0.0,
-                        t: int | None = None, interpret: bool = False) -> jnp.ndarray:
+                        t: int | None = None, interpret: bool = False,
+                        out_layout: str = "bhtd") -> jnp.ndarray:
     """Fused attention over a *packed* projection tensor ``[B, 3H, T, d]``.
 
     The fused QKV projection emits one ``[B, T, 3D]`` tensor; reshaping it to heads and
@@ -310,8 +321,14 @@ def flash_attention_qkv(qkv: jnp.ndarray, seed: jnp.ndarray, dropout_rate: float
     at the custom-call boundary; instead the kernel reads all three roles from the *same*
     operand through head-offset index maps (same buffer, three views — no copies).
     Numerics and dropout semantics are identical to :func:`flash_attention`.
+
+    ``out_layout="bthd"`` emits ``[B, T, H, d]`` directly (the out-projection's natural
+    input: its ``[B, T, H*d]`` reshape becomes a free bitcast and the post-kernel XLA
+    transpose disappears, in forward and for the cotangent in backward). The store-side
+    relayout happens in VMEM; requires all heads in one program (block minor dims must
+    be full array dims), which measured neutral at T=200 (round-3 hb=12 A/B).
     """
-    return _packed_fwd(qkv, seed, dropout_rate, t, interpret)[0]
+    return _packed_fwd(qkv, seed, dropout_rate, t, interpret, out_layout)[0]
 
 
 def _packed_specs(h: int, hb: int, tp: int, d: int):
@@ -323,7 +340,7 @@ def _packed_specs(h: int, hb: int, tp: int, d: int):
     return [spec(0), spec(1), spec(2)]
 
 
-def _packed_fwd(qkv, seed, dropout_rate, t, interpret):
+def _packed_fwd(qkv, seed, dropout_rate, t, interpret, out_layout="bhtd"):
     b, h3, t_real, d = qkv.shape
     h = h3 // 3
     t_eff = t or t_real
@@ -332,25 +349,31 @@ def _packed_fwd(qkv, seed, dropout_rate, t, interpret):
     qkvp = _pad(qkv, tp, 2)
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
 
-    hb = _head_block(h, tp)
+    ob = out_layout == "bthd"
+    # bthd output blocks put (H, d) in the tiled minor positions -> both must be full
+    # array dims, i.e. all heads in one program (measured neutral vs hb=6 at T=200).
+    hb = h if ob else _head_block(h, tp)
     dn = _defer_norm()
     out = pl.pallas_call(
-        partial(_fwd_kernel, t=t_eff, scale=scale, rate=dropout_rate, defer=dn),
-        name=f"flash_fwd_qkv_t{t_eff}_r{dropout_rate}_hb{hb}_dn{int(dn)}",
+        partial(_fwd_kernel, t=t_eff, scale=scale, rate=dropout_rate, defer=dn,
+                out_bthd=ob),
+        name=f"flash_fwd_qkv_t{t_eff}_r{dropout_rate}_hb{hb}_dn{int(dn)}_ob{int(ob)}",
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, h // hb),
             in_specs=_packed_specs(h, hb, tp, d),
-            out_specs=_blockspec("bhtd", hb, tp, d),
+            out_specs=_blockspec("bthd" if ob else "bhtd", hb, tp, d),
         ),
-        out_shape=jax.ShapeDtypeStruct((b, h, tp, d), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, tp, h, d) if ob else (b, h, tp, d),
+                                       qkv.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(seed_arr, qkvp, qkvp, qkvp)
-    return out[:, :, :t_real, :], (qkv, seed)
+    out = out[:, :t_real] if ob else out[:, :, :t_real, :]
+    return out, (qkv, seed)
 
 
-def _packed_bwd(dropout_rate, t, interpret, residuals, g):
+def _packed_bwd(dropout_rate, t, interpret, out_layout, residuals, g):
     qkv, seed = residuals
     b, h3, t_real, d = qkv.shape
     h = h3 // 3
@@ -358,20 +381,23 @@ def _packed_bwd(dropout_rate, t, interpret, residuals, g):
     tp = _pad_len(t_real)
     scale = 1.0 / float(np.sqrt(d))
     qkvp = _pad(qkv, tp, 2)
-    gp = _pad(g, tp, 2)
+    ob = out_layout == "bthd"
+    gp = _pad(g, tp, 1 if ob else 2)   # cotangent arrives in the forward's out layout
     seed_arr = jnp.asarray(seed, jnp.int32).reshape(1)
 
-    hb = _head_block(h, tp)
+    hb = h if ob else _head_block(h, tp)
     dn = _defer_norm()
     spec = _blockspec("bhtd", hb, tp, d)
+    g_spec = _blockspec("bthd" if ob else "bhtd", hb, tp, d)
     shape = jax.ShapeDtypeStruct((b, h, tp, d), qkv.dtype)
     dq, dk, dv = pl.pallas_call(
-        partial(_bwd_kernel, t=t_eff, scale=scale, rate=dropout_rate, defer=dn),
-        name=f"flash_bwd_qkv_t{t_eff}_r{dropout_rate}_hb{hb}_dn{int(dn)}",
+        partial(_bwd_kernel, t=t_eff, scale=scale, rate=dropout_rate, defer=dn,
+                out_bthd=ob),
+        name=f"flash_bwd_qkv_t{t_eff}_r{dropout_rate}_hb{hb}_dn{int(dn)}_ob{int(ob)}",
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(b, h // hb),
-            in_specs=_packed_specs(h, hb, tp, d) + [spec],
+            in_specs=_packed_specs(h, hb, tp, d) + [g_spec],
             out_specs=(spec,) * 3,
         ),
         out_shape=(shape, shape, shape),
