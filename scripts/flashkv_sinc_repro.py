@@ -20,6 +20,9 @@ Prints one line: STAGE=<name> RC=OK LOSS=<val> or raises (worker crash -> nonzer
 """
 
 import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
@@ -35,10 +38,89 @@ def main() -> None:
 
     rng = np.random.default_rng(0)
 
-    if stage in ("beamformer", "stopgrad", "fwdonly"):
+    if stage in ("classifier", "classifier_f32", "classifier_nodrop"):
+        # Full vest classifier grad (bf16 like build_classifier on TPU) — the layer
+        # between the clean small compositions and the crashing train step.
+        from wav2vec_heart_sounds_tpu.models.build import build_classifier
+        from wav2vec_heart_sounds_tpu.models.classifier import ClassifierConfig
+        from wav2vec_heart_sounds_tpu.train.losses import cross_entropy
+
+        ccfg = ClassifierConfig(num_classes=2, num_channels=m, random_init=True,
+                                lora=True, fs=4125, head_hidden=(256,))
+        dtype = jnp.float32 if stage == "classifier_f32" else None
+        model, variables = build_classifier(ccfg, jax.random.key(0), t, dtype)
+        x = jnp.asarray(rng.normal(size=(b, t, m)), jnp.float32)
+        y = jnp.asarray(rng.integers(0, 2, b), jnp.int32)
+        train = stage != "classifier_nodrop"
+
+        def loss_fn(params, x, y, key):
+            kwargs = dict(train=train)
+            if train:
+                kwargs["rngs"] = {"dropout": key}
+                kwargs["mask_key"] = key
+            logits = model.apply({"params": params}, x, **kwargs)
+            return cross_entropy(logits, y, None)
+
+        g = jax.jit(jax.grad(loss_fn))(variables["params"], x, y, jax.random.key(1))
+        leaf = jax.tree_util.tree_leaves(g)[0]
+        print(f"STAGE={stage} RC=OK LOSS={float(jnp.sum(leaf)):.6f}")
+        return
+
+    if stage.startswith("trainstep"):
+        # The trainer's jitted step minus the loader: value_and_grad + optax update
+        # (flattened-2d adamw) + donation + N sequential invocations. Variants:
+        #   trainstep            donated, adamw, 3 steps  (the crashing bench's shape)
+        #   trainstep_nodonate   no donate_argnums
+        #   trainstep_sgd        sgd instead of adamw
+        #   trainstep_1          single invocation
+        import optax
+
+        from wav2vec_heart_sounds_tpu.models.build import build_classifier
+        from wav2vec_heart_sounds_tpu.models.classifier import ClassifierConfig
+        from wav2vec_heart_sounds_tpu.train.losses import cross_entropy
+        from wav2vec_heart_sounds_tpu.train.optim import build_optimizer
+
+        ccfg = ClassifierConfig(num_classes=2, num_channels=m, random_init=True,
+                                lora=True, fs=4125, head_hidden=(256,))
+        model, variables = build_classifier(ccfg, jax.random.key(0), t)
+        params = variables["params"]
+        opt_name = "sgd" if stage == "trainstep_sgd" else "adamw"
+        tx, schedule = build_optimizer(opt_name, 1e-4, max_grad_norm=5.0)
+        opt_state = tx.init(params)
+        y = jnp.asarray(rng.integers(0, 2, b), jnp.int32)
+        valid = jnp.ones((b,), jnp.float32)
+
+        def step(params, opt_state, x, y, valid, lr, key):
+            k_drop, k_mask = jax.random.split(key)
+
+            def loss_fn(p):
+                logits = model.apply({"params": p}, x, train=True,
+                                     rngs={"dropout": k_drop}, mask_key=k_mask)
+                return cross_entropy(logits, y, valid)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            updates = jax.tree_util.tree_map(lambda u: lr * u, updates)
+            return optax.apply_updates(params, updates), opt_state, loss
+
+        donate = () if stage == "trainstep_nodonate" else (0, 1)
+        jstep = jax.jit(step, donate_argnums=donate)
+        n_steps = 1 if stage == "trainstep_1" else 3
+        key = jax.random.key(1)
+        lr = jnp.asarray(schedule(0), jnp.float32)
+        loss = None
+        for i in range(n_steps):
+            key, sub = jax.random.split(key)
+            x = jnp.asarray(rng.normal(size=(b, t, m)), jnp.float32)
+            params, opt_state, loss = jstep(params, opt_state, x, y, valid, lr, sub)
+        print(f"STAGE={stage} RC=OK LOSS={float(loss):.6f}")
+        return
+
+    if stage in ("beamformer", "beamformer_bf16", "stopgrad", "fwdonly"):
         from wav2vec_heart_sounds_tpu.models.beamformer import TimeVaryingSincBeamformer
 
-        model = TimeVaryingSincBeamformer(num_mics=m, fs=4125.0)
+        dtype = jnp.bfloat16 if stage == "beamformer_bf16" else jnp.float32
+        model = TimeVaryingSincBeamformer(num_mics=m, fs=4125.0, dtype=dtype)
         x = jnp.asarray(rng.normal(size=(b, m, t)), jnp.float32)
         params = model.init(jax.random.key(0), x)
 
