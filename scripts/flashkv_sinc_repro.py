@@ -66,6 +66,31 @@ def main() -> None:
         print(f"STAGE={stage} RC=OK LOSS={float(jnp.sum(leaf)):.6f}")
         return
 
+    if stage == "trainer":
+        # The REAL SupervisedTrainer fed synthetic in-memory batches (no dataset /
+        # augment / Batcher): isolates trainer machinery from the loader path.
+        # Honors W2VHS_AOT like the real epoch loop.
+        from wav2vec_heart_sounds_tpu.models.build import build_classifier
+        from wav2vec_heart_sounds_tpu.models.classifier import ClassifierConfig
+        from wav2vec_heart_sounds_tpu.train.classifier import SupervisedTrainer
+
+        ccfg = ClassifierConfig(num_classes=2, num_channels=m, random_init=True,
+                                lora=True, fs=4125, head_hidden=(256,))
+        model, variables = build_classifier(ccfg, jax.random.key(0), t)
+        trainer = SupervisedTrainer(model, variables, optimizer_name="adamw", lr=1e-4,
+                                    classifier_config=ccfg, log=lambda s: None)
+
+        def batches():
+            for _ in range(3):
+                wave = (rng.normal(size=(b, t, m)) * 3000).astype(np.int16)
+                yield {"waveform": wave,
+                       "label": rng.integers(0, 2, b).astype(np.int32),
+                       "valid": np.ones(b, np.float32)}
+
+        _, loss = trainer._run_epoch(batches(), True, max_batches=3)
+        print(f"STAGE={stage} RC=OK LOSS={loss:.6f}")
+        return
+
     if stage.startswith("trainstep"):
         # The trainer's jitted step minus the loader: value_and_grad + optax update
         # (flattened-2d adamw) + donation + N sequential invocations. Variants:
@@ -73,10 +98,13 @@ def main() -> None:
         #   trainstep_nodonate   no donate_argnums
         #   trainstep_sgd        sgd instead of adamw
         #   trainstep_1          single invocation
+        #   trainstep_int16      int16 wire input, dequant inside the step (loader policy)
+        #   trainstep_mask       full _step_tail semantics: trainable-masked adamw with
+        #                        weight decay, loss_params tree, preds output
         import optax
 
         from wav2vec_heart_sounds_tpu.models.build import build_classifier
-        from wav2vec_heart_sounds_tpu.models.classifier import ClassifierConfig
+        from wav2vec_heart_sounds_tpu.models.classifier import ClassifierConfig, trainable_mask
         from wav2vec_heart_sounds_tpu.train.losses import cross_entropy
         from wav2vec_heart_sounds_tpu.train.optim import build_optimizer
 
@@ -85,13 +113,37 @@ def main() -> None:
         model, variables = build_classifier(ccfg, jax.random.key(0), t)
         params = variables["params"]
         opt_name = "sgd" if stage == "trainstep_sgd" else "adamw"
-        tx, schedule = build_optimizer(opt_name, 1e-4, max_grad_norm=5.0)
-        opt_state = tx.init(params)
+        if stage == "trainstep_mask":
+            enc_mask = trainable_mask(params, ccfg)
+            mask = {"model": enc_mask, "loss": {}}
+            tx, schedule = build_optimizer(opt_name, 1e-4, 1e-5, trainable=mask,
+                                           max_grad_norm=5.0)
+            train_tree = {"model": params, "loss": {}}
+            opt_state = tx.init(train_tree)
+        else:
+            tx, schedule = build_optimizer(opt_name, 1e-4, max_grad_norm=5.0)
+            opt_state = tx.init(params)
         y = jnp.asarray(rng.integers(0, 2, b), jnp.int32)
         valid = jnp.ones((b,), jnp.float32)
 
         def step(params, opt_state, x, y, valid, lr, key):
             k_drop, k_mask = jax.random.split(key)
+            if jnp.issubdtype(x.dtype, jnp.integer):
+                x = x.astype(jnp.float32) * (1.0 / 32767.0)
+
+            if stage == "trainstep_mask":
+                def loss_fn(tree):
+                    logits = model.apply({"params": tree["model"]}, x, train=True,
+                                         rngs={"dropout": k_drop}, mask_key=k_mask)
+                    return cross_entropy(logits, y, valid), logits
+
+                tree = {"model": params, "loss": {}}
+                (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(tree)
+                updates, opt_state = tx.update(grads, opt_state, tree)
+                updates = jax.tree_util.tree_map(lambda u: lr * u, updates)
+                tree = optax.apply_updates(tree, updates)
+                preds = jnp.argmax(logits, axis=1)
+                return tree["model"], opt_state, loss + preds.sum() * 0.0
 
             def loss_fn(p):
                 logits = model.apply({"params": p}, x, train=True,
@@ -111,7 +163,10 @@ def main() -> None:
         loss = None
         for i in range(n_steps):
             key, sub = jax.random.split(key)
-            x = jnp.asarray(rng.normal(size=(b, t, m)), jnp.float32)
+            if stage == "trainstep_int16":
+                x = jnp.asarray((rng.normal(size=(b, t, m)) * 3000).astype(np.int16))
+            else:
+                x = jnp.asarray(rng.normal(size=(b, t, m)), jnp.float32)
             params, opt_state, loss = jstep(params, opt_state, x, y, valid, lr, sub)
         print(f"STAGE={stage} RC=OK LOSS={float(loss):.6f}")
         return
