@@ -53,6 +53,34 @@ def test_build_optimizer_freeze_path_still_masks():
     assert float(jnp.abs(updates["b"]).max()) > 0.0
 
 
+@pytest.mark.parametrize("name", ["sgd", "adam", "adamw"])
+def test_flattened_masked_matches_per_leaf_masked(name, monkeypatch):
+    """The packed-domain freeze (vest-crash fix) must emit the exact per-leaf
+    optax.masked-chain updates: same clip norm (trainable-only), same decay, same
+    moments — over several steps so momentum/adam state divergence would surface."""
+    params = _tree(0)
+    mask = {"a": {"kernel": False, "bias": True}, "b": True}
+
+    def run(flat: bool):
+        monkeypatch.setenv("W2VHS_FLAT_OPT", "1" if flat else "0")
+        tx, _ = build_optimizer(name, 1e-2, weight_decay=1e-3, trainable=mask,
+                                max_grad_norm=5.0)
+        state = tx.init(params)
+        p = params
+        for step in range(4):
+            grads = _tree(10 + step)
+            updates, state = tx.update(grads, state, p)
+            p = optax.apply_updates(p, updates)
+        return p
+
+    p_flat, p_leaf = run(True), run(False)
+    # Frozen leaf never moves under either path.
+    np.testing.assert_array_equal(np.asarray(p_flat["a"]["kernel"]),
+                                  np.asarray(params["a"]["kernel"]))
+    for a, b in zip(jax.tree_util.tree_leaves(p_flat), jax.tree_util.tree_leaves(p_leaf)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_step_lr_schedule():
     sched = lr_schedule("sgd", 1e-3)
     assert sched(0) == pytest.approx(1e-3)
