@@ -53,6 +53,7 @@ def test_build_optimizer_freeze_path_still_masks():
     assert float(jnp.abs(updates["b"]).max()) > 0.0
 
 
+@pytest.mark.fast
 @pytest.mark.parametrize("name", ["sgd", "adam", "adamw"])
 def test_flattened_masked_matches_per_leaf_masked(name, monkeypatch):
     """The packed-domain freeze (vest-crash fix) must emit the exact per-leaf
