@@ -14,6 +14,7 @@ from flax.linen.attention import dot_product_attention
 
 from wav2vec_heart_sounds_tpu.ops.pallas.flash_kv import flash_attention_kv
 
+@pytest.mark.parametrize("split_bwd", ["0", "1"])
 @pytest.mark.parametrize("b,t,h,d,qb,kvb", [
     # The ragged-tail case is the smoke gate; the exact-fit/multi-block cases stay in
     # the full suite (each costs ~6 s of interpreter time on this 1-CPU host).
@@ -21,7 +22,8 @@ from wav2vec_heart_sounds_tpu.ops.pallas.flash_kv import flash_attention_kv
     (1, 700, 2, 8, 256, 256),
     (2, 512, 4, 8, 512, 512),    # single q block, exact fit
 ])
-def test_flash_kv_matches_exact_softmax(b, t, h, d, qb, kvb):
+def test_flash_kv_matches_exact_softmax(b, t, h, d, qb, kvb, split_bwd, monkeypatch):
+    monkeypatch.setenv("W2VHS_FLASHKV_SPLIT_BWD", split_bwd)
     rng = np.random.default_rng(0)
     q, k, v = (jnp.asarray(rng.normal(size=(b, t, h, d)), jnp.float32)
                for _ in range(3))
@@ -38,9 +40,12 @@ def test_flash_kv_matches_exact_softmax(b, t, h, d, qb, kvb):
 
 
 @pytest.mark.fast
-def test_flash_kv_bf16_boundary_cast():
+@pytest.mark.parametrize("bf16_dots", ["1", "0"])
+def test_flash_kv_bf16_boundary_cast(bf16_dots, monkeypatch):
     """bf16 inputs run through the f32 boundary cast and return bf16 (the vest train
-    step feeds the kernel under the bf16 compute dtype)."""
+    step feeds the kernel under the bf16 compute dtype). Covers both in-kernel dot
+    modes: bf16 operands (gated A/B) and the exact-f32 default."""
+    monkeypatch.setenv("W2VHS_FLASHKV_BF16", bf16_dots)
     rng = np.random.default_rng(2)
     q, k, v = (jnp.asarray(rng.normal(size=(1, 260, 2, 8)), jnp.bfloat16)
                for _ in range(3))

@@ -9,8 +9,12 @@ the classic online-softmax decomposition (FlashAttention-2): the grid tiles (bat
 query-block); each program keeps the full K/V rows in VMEM (T~8k at d=8 is ~0.5 MB) and
 loops over KV blocks with running (max, sumexp, accumulator) carries, so probabilities
 never leave VMEM. Forward stores the log-sum-exp per row; the backward recomputes
-probabilities from it in two gridded passes (dq over query blocks; dk/dv over kv blocks,
-with padded-query rows contributing zero because their cotangent rows are zero).
+probabilities from it in ONE fused pass over kv blocks (dk/dv accumulate in VMEM; dq is
+emitted as per-kv-block partials and reduced outside) — 5 score-shaped dots per block
+pair instead of the textbook split's 7, which is wall time at d=8 where every dot is
+MXU-pass-bound. ``W2VHS_FLASHKV_SPLIT_BWD=1`` restores the split dq/dkv kernels as the
+equivalence oracle. Padded-query rows contribute zero because their cotangent rows are
+zero.
 
 Unlike ``ops/pallas/attention.py`` (whole-T-in-VMEM, in-kernel PRNG dropout — right for the
 wav2vec2 encoder's T~200), this kernel has no dropout/mask support: the delay predictor
@@ -19,6 +23,7 @@ runs dropout-free.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -34,7 +39,23 @@ _PV = (((1,), (0,)), ((), ()))   # [qb, kvb] x [kvb, d] -> [qb, d]
 _PT = (((0,), (0,)), ((), ()))   # [qb, kvb] x [qb, d] -> [kvb, d]
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, t: int, kvb: int, scale: float):
+def _dot(a, b, dims, bf16: bool):
+    """MXU dot with f32 accumulation; operands optionally rounded to bf16.
+
+    Measured NEUTRAL on hardware (vest A/B 63.1 vs 63.0 w/s minutes apart): at d=8
+    every dot is MXU-pass-bound — the pass count is set by output tiles, not operand
+    dtype, so rounding operands to bf16 buys nothing while losing bits in the
+    probability/ds operands. Default is therefore the exact-f32 path; the gate
+    (``W2VHS_FLASHKV_BF16=1``) is kept as the documented A/B for future libtpu drops
+    where the bf16 pass cost may diverge.
+    """
+    if bf16:
+        a, b = a.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+    return jax.lax.dot_general(a, b, dims, preferred_element_type=jnp.float32)
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, t: int, kvb: int, scale: float,
+                bf16: bool):
     q = q_ref[0, 0].astype(jnp.float32) * scale                    # [qb, d]
     qb, d = q.shape
     nkv = k_ref.shape[2] // kvb
@@ -43,15 +64,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, t: int, kvb: int, scale:
         m, l, acc = carry
         kblk = k_ref[0, 0, pl.ds(j * kvb, kvb)].astype(jnp.float32)
         vblk = v_ref[0, 0, pl.ds(j * kvb, kvb)].astype(jnp.float32)
-        s = jax.lax.dot_general(q, kblk, _QK, preferred_element_type=jnp.float32)
+        s = _dot(q, kblk, _QK, bf16)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * kvb
         s = jnp.where(col < t, s, NEG_INF)
         mj = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - mj)
         corr = jnp.exp(m - mj)
         l = l * corr + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * corr + jax.lax.dot_general(p, vblk, _PV,
-                                               preferred_element_type=jnp.float32)
+        acc = acc * corr + _dot(p, vblk, _PV, bf16)
         return mj, l, acc
 
     m0 = jnp.full((qb, 1), NEG_INF, jnp.float32)
@@ -64,7 +84,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, t: int, kvb: int, scale:
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref, *,
-               t: int, kvb: int, scale: float):
+               t: int, kvb: int, scale: float, bf16: bool):
     q = q_ref[0, 0].astype(jnp.float32) * scale
     g = g_ref[0, 0].astype(jnp.float32)                            # [qb, d]
     lse = lse_ref[0, 0, :, :1]                                     # [qb, 1]
@@ -75,20 +95,19 @@ def _dq_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dq_ref, *,
     def body(j, dq):
         kblk = k_ref[0, 0, pl.ds(j * kvb, kvb)].astype(jnp.float32)
         vblk = v_ref[0, 0, pl.ds(j * kvb, kvb)].astype(jnp.float32)
-        s = jax.lax.dot_general(q, kblk, _QK, preferred_element_type=jnp.float32)
+        s = _dot(q, kblk, _QK, bf16)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * kvb
         p = jnp.where(col < t, jnp.exp(s - lse), 0.0)
-        dp = jax.lax.dot_general(g, vblk, _QK, preferred_element_type=jnp.float32)
+        dp = _dot(g, vblk, _QK, bf16)
         ds = p * (dp - delta)
-        return dq + jax.lax.dot_general(ds, kblk, _PV,
-                                        preferred_element_type=jnp.float32)
+        return dq + _dot(ds, kblk, _PV, bf16)
 
     dq = jax.lax.fori_loop(0, nkv, body, jnp.zeros((qb, d), jnp.float32))
     dq_ref[0, 0] = (dq * scale).astype(dq_ref.dtype)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dk_ref, dv_ref, *,
-                t: int, qb: int, scale: float):
+                t: int, qb: int, scale: float, bf16: bool):
     kblk = k_ref[0, 0].astype(jnp.float32)                         # [kvb, d]
     vblk = v_ref[0, 0].astype(jnp.float32)
     kvb, d = kblk.shape
@@ -101,13 +120,51 @@ def _dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dk_ref, dv_ref, 
         g = g_ref[0, 0, pl.ds(i * qb, qb)].astype(jnp.float32)
         lse = lse_ref[0, 0, pl.ds(i * qb, qb), :1]
         delta = delta_ref[0, 0, pl.ds(i * qb, qb), :1]
-        s = jax.lax.dot_general(q, kblk, _QK, preferred_element_type=jnp.float32)
+        s = _dot(q, kblk, _QK, bf16)
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col0
         p = jnp.where(col < t, jnp.exp(s - lse), 0.0)              # [qb, kvb]
-        dv = dv + jax.lax.dot_general(p, g, _PT, preferred_element_type=jnp.float32)
-        dp = jax.lax.dot_general(g, vblk, _QK, preferred_element_type=jnp.float32)
+        dv = dv + _dot(p, g, _PT, bf16)
+        dp = _dot(g, vblk, _QK, bf16)
         ds = p * (dp - delta)
-        dk = dk + jax.lax.dot_general(ds, q, _PT, preferred_element_type=jnp.float32)
+        dk = dk + _dot(ds, q, _PT, bf16)
+        return dk, dv
+
+    zero = jnp.zeros((kvb, d), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, nq, body, (zero, zero))
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)   # q already carried the scale
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
+                      dk_ref, dv_ref, dqp_ref, *,
+                      t: int, qb: int, scale: float, bf16: bool):
+    """One backward pass per kv block: dk/dv accumulate in VMEM (as in ``_dkv_kernel``)
+    and the dq contribution of this kv block is emitted as a partial (reduced over kv
+    blocks outside the kernel). The split dq/dkv kernels each recompute the score and
+    dp blocks, costing 7 score-shaped dots per block pair; fusing computes them once
+    (5 dots) — at d=8 the dots are MXU-pass-bound, so dot count is wall time.
+    """
+    kblk = k_ref[0, 0].astype(jnp.float32)                         # [kvb, d]
+    vblk = v_ref[0, 0].astype(jnp.float32)
+    kvb, d = kblk.shape
+    nq = q_ref.shape[2] // qb
+    col0 = pl.program_id(2) * kvb
+
+    def body(i, carry):
+        dk, dv = carry
+        q = q_ref[0, 0, pl.ds(i * qb, qb)].astype(jnp.float32) * scale
+        g = g_ref[0, 0, pl.ds(i * qb, qb)].astype(jnp.float32)
+        lse = lse_ref[0, 0, pl.ds(i * qb, qb), :1]
+        delta = delta_ref[0, 0, pl.ds(i * qb, qb), :1]
+        s = _dot(q, kblk, _QK, bf16)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + col0
+        p = jnp.where(col < t, jnp.exp(s - lse), 0.0)              # [qb, kvb]
+        dv = dv + _dot(p, g, _PT, bf16)
+        dp = _dot(g, vblk, _QK, bf16)
+        ds = p * (dp - delta)
+        dk = dk + _dot(ds, q, _PT, bf16)
+        dqp_ref[0, 0, 0, pl.ds(i * qb, qb)] = (
+            _dot(ds, kblk, _PV, bf16) * scale).astype(dqp_ref.dtype)
         return dk, dv
 
     zero = jnp.zeros((kvb, d), jnp.float32)
@@ -129,7 +186,7 @@ def _specs(qb, tp, d):
     return qspec, whole
 
 
-def _flash_kv_fwd(q, k, v, q_block, kv_block, interpret):
+def _flash_kv_fwd(q, k, v, q_block, kv_block, interpret, bf16_dots):
     b, t, h, d = q.shape
     scale = 1.0 / float(np.sqrt(d))
     qb = min(q_block, max(128, -(-t // 128) * 128))
@@ -143,8 +200,8 @@ def _flash_kv_fwd(q, k, v, q_block, kv_block, interpret):
     lspec = pl.BlockSpec((1, 1, qb, 8), lambda b_, h_, i: (b_, h_, i, 0),
                          memory_space=pltpu.VMEM)
     out, lse = pl.pallas_call(
-        partial(_fwd_kernel, t=t, kvb=kvb, scale=scale),
-        name=f"flashkv_fwd_t{t}_q{qb}_k{kvb}",   # statics pinned for the AOT cache key
+        partial(_fwd_kernel, t=t, kvb=kvb, scale=scale, bf16=bf16_dots),
+        name=f"flashkv_fwd_t{t}_q{qb}_k{kvb}_bf{int(bf16_dots)}",   # statics pinned for the AOT cache key
         grid=(b, h, nq),
         in_specs=[qspec, whole, whole],
         out_specs=(qspec, lspec),
@@ -157,7 +214,7 @@ def _flash_kv_fwd(q, k, v, q_block, kv_block, interpret):
     return o, (q, k, v, o, lse)
 
 
-def _flash_kv_bwd(q_block, kv_block, interpret, residuals, g):
+def _flash_kv_bwd(q_block, kv_block, interpret, bf16_dots, residuals, g):
     q, k, v, o, lse = residuals
     b, t, h, d = q.shape
     scale = 1.0 / float(np.sqrt(d))
@@ -179,9 +236,36 @@ def _flash_kv_bwd(q_block, kv_block, interpret, residuals, g):
     rowwhole = pl.BlockSpec((1, 1, tp, 8), lambda b_, h_, i: (b_, h_, 0, 0),
                             memory_space=pltpu.VMEM)
 
+    kvspec = pl.BlockSpec((1, 1, kvb, d), lambda b_, h_, i: (b_, h_, i, 0),
+                          memory_space=pltpu.VMEM)
+    qwhole = pl.BlockSpec((1, 1, tp, d), lambda b_, h_, i: (b_, h_, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    if os.environ.get("W2VHS_FLASHKV_SPLIT_BWD") != "1":
+        # Fused backward (default): 5 score-shaped dots per block pair instead of 7.
+        # dq partials [B, H, nkv, Tp, d] cost one extra HBM round trip (~0.6 GB/s-step
+        # at vest shapes, ~1 ms) against the ~22 ms/layer the dropped dq kernel cost.
+        dqpspec = pl.BlockSpec((1, 1, 1, tp, d), lambda b_, h_, j: (b_, h_, j, 0, 0),
+                               memory_space=pltpu.VMEM)
+        dk, dv, dqp = pl.pallas_call(
+            partial(_bwd_fused_kernel, t=t, qb=qb, scale=scale, bf16=bf16_dots),
+            name=f"flashkv_bwd_t{t}_q{qb}_k{kvb}_bf{int(bf16_dots)}",
+            grid=(b, h, nkv),
+            in_specs=[qwhole, kvspec, kvspec, qwhole, rowwhole, rowwhole],
+            out_specs=(kvspec, kvspec, dqpspec),
+            out_shape=(jax.ShapeDtypeStruct((b, h, tp, d), k.dtype),
+                       jax.ShapeDtypeStruct((b, h, tp, d), v.dtype),
+                       jax.ShapeDtypeStruct((b, h, nkv, tp, d), jnp.float32)),
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+            interpret=interpret,
+        )(qt, kt, vt, gt, lse_p, delta_p)
+        dq = jnp.sum(dqp, axis=2).astype(q.dtype)
+        crop = lambda x: jnp.moveaxis(x, 1, 2)[:, :t]
+        return crop(dq), crop(dk), crop(dv)
+
     dq = pl.pallas_call(
-        partial(_dq_kernel, t=t, kvb=kvb, scale=scale),
-        name=f"flashkv_dq_t{t}_q{qb}_k{kvb}",
+        partial(_dq_kernel, t=t, kvb=kvb, scale=scale, bf16=bf16_dots),
+        name=f"flashkv_dq_t{t}_q{qb}_k{kvb}_bf{int(bf16_dots)}",
         grid=(b, h, nq),
         in_specs=[qspec, whole, whole, qspec, rowspec, rowspec],
         out_specs=qspec,
@@ -190,13 +274,9 @@ def _flash_kv_bwd(q_block, kv_block, interpret, residuals, g):
         interpret=interpret,
     )(qt, kt, vt, gt, lse_p, delta_p)
 
-    kvspec = pl.BlockSpec((1, 1, kvb, d), lambda b_, h_, i: (b_, h_, i, 0),
-                          memory_space=pltpu.VMEM)
-    qwhole = pl.BlockSpec((1, 1, tp, d), lambda b_, h_, i: (b_, h_, 0, 0),
-                          memory_space=pltpu.VMEM)
     dk, dv = pl.pallas_call(
-        partial(_dkv_kernel, t=t, qb=qb, scale=scale),
-        name=f"flashkv_dkv_t{t}_q{qb}_k{kvb}",
+        partial(_dkv_kernel, t=t, qb=qb, scale=scale, bf16=bf16_dots),
+        name=f"flashkv_dkv_t{t}_q{qb}_k{kvb}_bf{int(bf16_dots)}",
         grid=(b, h, nkv),
         in_specs=[qwhole, kvspec, kvspec, qwhole, rowwhole, rowwhole],
         out_specs=(kvspec, kvspec),
@@ -210,10 +290,11 @@ def _flash_kv_bwd(q_block, kv_block, interpret, residuals, g):
     return crop(dq), crop(dk), crop(dv)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash_kv(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-              q_block: int, kv_block: int, interpret: bool) -> jnp.ndarray:
-    return _flash_kv_fwd(q, k, v, q_block, kv_block, interpret)[0]
+              q_block: int, kv_block: int, interpret: bool,
+              bf16_dots: bool) -> jnp.ndarray:
+    return _flash_kv_fwd(q, k, v, q_block, kv_block, interpret, bf16_dots)[0]
 
 
 _flash_kv.defvjp(_flash_kv_fwd, _flash_kv_bwd)
@@ -226,10 +307,14 @@ def flash_attention_kv(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     Inputs are cast to f32 at the kernel boundary: Mosaic faults on bf16 refs at this
     d=8 lane width (the vest train step crashed under the bf16 compute dtype; the f32
-    probe at identical shapes ran clean), and at d=8 the dots are bandwidth-bound, so
-    the cast costs transfer only (~17 MB/tensor at vest shapes), not MXU throughput.
+    probe at identical shapes ran clean). In-kernel dots default to exact f32: the
+    bf16-operand variant (``W2VHS_FLASHKV_BF16=1``) measured NEUTRAL on hardware —
+    at d=8 the MXU pass count is set by output tiles, not operand dtype — so the
+    exact path wins on accuracy at equal speed. See ``_dot``.
     """
     dt = q.dtype
+    bf16_dots = (dt == jnp.bfloat16
+                 and os.environ.get("W2VHS_FLASHKV_BF16", "0") == "1")
     if dt == jnp.bfloat16:
         q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
-    return _flash_kv(q, k, v, q_block, kv_block, interpret).astype(dt)
+    return _flash_kv(q, k, v, q_block, kv_block, interpret, bf16_dots).astype(dt)
