@@ -9,6 +9,7 @@ mean±std Markdown table (population std).
 from __future__ import annotations
 
 import json
+import statistics
 from pathlib import Path
 
 METRIC_KEYS = ("accuracy", "uar", "sensitivity", "specificity", "npv", "precision",
@@ -38,16 +39,9 @@ def group_key(record: dict, group_by: list[str]) -> str:
     return ", ".join(parts) if parts else "all"
 
 
-def _mean_std(values: list[float]) -> tuple[float, float]:
-    n = len(values)
-    mean = sum(values) / n
-    var = sum((v - mean) ** 2 for v in values) / n if n else 0.0
-    return mean, var ** 0.5
-
-
 def summarize(records: list[dict],
               group_by: list[str] | None = None) -> dict[str, dict[str, tuple]]:
-    """``{group: {metric_path: (mean, std, n)}}`` across records."""
+    """``{group: {metric_path: (mean, std, n)}}`` across records (population std)."""
     group_by = group_by or ["run_label"]
     groups: dict[str, dict[str, list[float]]] = {}
     for record in records:
@@ -55,11 +49,11 @@ def summarize(records: list[dict],
         for name, value in flatten_metrics(record).items():
             bucket.setdefault(name, []).append(value)
 
-    summary: dict[str, dict[str, tuple]] = {}
-    for key, metrics in groups.items():
-        summary[key] = {name: (*_mean_std(values), len(values))
-                        for name, values in metrics.items()}
-    return summary
+    return {key: {name: (statistics.fmean(vals),
+                         statistics.pstdev(vals) if len(vals) > 1 else 0.0,
+                         len(vals))
+                  for name, vals in metrics.items()}
+            for key, metrics in groups.items()}
 
 
 def to_markdown(summary: dict, metrics: list[str] | None = None) -> str:
