@@ -136,19 +136,26 @@ def _dkv_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref, dk_ref, dv_ref, 
 
 
 def _bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
-                      dk_ref, dv_ref, dqp_ref, *,
+                      dk_ref, dv_ref, dq_ref, *,
                       t: int, qb: int, scale: float, bf16: bool):
     """One backward pass per kv block: dk/dv accumulate in VMEM (as in ``_dkv_kernel``)
-    and the dq contribution of this kv block is emitted as a partial (reduced over kv
-    blocks outside the kernel). The split dq/dkv kernels each recompute the score and
-    dp blocks, costing 7 score-shaped dots per block pair; fusing computes them once
-    (5 dots) — at d=8 the dots are MXU-pass-bound, so dot count is wall time.
+    and dq accumulates into a VMEM-resident output block revisited across the kv grid
+    dimension (its index map is constant in j, the innermost grid dim, so Pallas keeps
+    it on-chip and flushes once per (b, h) — no HBM partials, no XLA reduce; the first
+    fused variant's ``[B, H, nkv, Tp, d]`` partials cost a measured 7.1 ms/layer
+    strided reduce). The split dq/dkv kernels each recompute the score and dp blocks,
+    costing 7 score-shaped dots per block pair; fusing computes them once (5 dots) —
+    at d=8 the dots are MXU-pass-bound, so dot count is wall time.
     """
     kblk = k_ref[0, 0].astype(jnp.float32)                         # [kvb, d]
     vblk = v_ref[0, 0].astype(jnp.float32)
     kvb, d = kblk.shape
     nq = q_ref.shape[2] // qb
     col0 = pl.program_id(2) * kvb
+
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
 
     def body(i, carry):
         dk, dv = carry
@@ -163,8 +170,9 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, g_ref, lse_ref, delta_ref,
         dp = _dot(g, vblk, _QK, bf16)
         ds = p * (dp - delta)
         dk = dk + _dot(ds, q, _PT, bf16)
-        dqp_ref[0, 0, 0, pl.ds(i * qb, qb)] = (
-            _dot(ds, kblk, _PV, bf16) * scale).astype(dqp_ref.dtype)
+        sl = pl.ds(i * qb, qb)
+        dq_ref[0, 0, sl] = dq_ref[0, 0, sl] + (
+            _dot(ds, kblk, _PV, bf16) * scale).astype(dq_ref.dtype)
         return dk, dv
 
     zero = jnp.zeros((kvb, d), jnp.float32)
@@ -243,23 +251,22 @@ def _flash_kv_bwd(q_block, kv_block, interpret, bf16_dots, residuals, g):
 
     if os.environ.get("W2VHS_FLASHKV_SPLIT_BWD") != "1":
         # Fused backward (default): 5 score-shaped dots per block pair instead of 7.
-        # dq partials [B, H, nkv, Tp, d] cost one extra HBM round trip (~0.6 GB/s-step
-        # at vest shapes, ~1 ms) against the ~22 ms/layer the dropped dq kernel cost.
-        dqpspec = pl.BlockSpec((1, 1, 1, tp, d), lambda b_, h_, j: (b_, h_, j, 0, 0),
-                               memory_space=pltpu.VMEM)
-        dk, dv, dqp = pl.pallas_call(
+        # dq lives in a VMEM-resident block revisited across the innermost (kv) grid
+        # dim — written to HBM once per (b, h), exactly like the split dq kernel.
+        dqspec = pl.BlockSpec((1, 1, tp, d), lambda b_, h_, j: (b_, h_, 0, 0),
+                              memory_space=pltpu.VMEM)
+        dk, dv, dq = pl.pallas_call(
             partial(_bwd_fused_kernel, t=t, qb=qb, scale=scale, bf16=bf16_dots),
-            name=f"flashkv_bwd_t{t}_q{qb}_k{kvb}_bf{int(bf16_dots)}",
+            name=f"flashkv_bwd2_t{t}_q{qb}_k{kvb}_bf{int(bf16_dots)}",
             grid=(b, h, nkv),
             in_specs=[qwhole, kvspec, kvspec, qwhole, rowwhole, rowwhole],
-            out_specs=(kvspec, kvspec, dqpspec),
+            out_specs=(kvspec, kvspec, dqspec),
             out_shape=(jax.ShapeDtypeStruct((b, h, tp, d), k.dtype),
                        jax.ShapeDtypeStruct((b, h, tp, d), v.dtype),
-                       jax.ShapeDtypeStruct((b, h, nkv, tp, d), jnp.float32)),
+                       jax.ShapeDtypeStruct((b, h, tp, d), q.dtype)),
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
             interpret=interpret,
         )(qt, kt, vt, gt, lse_p, delta_p)
-        dq = jnp.sum(dqp, axis=2).astype(q.dtype)
         crop = lambda x: jnp.moveaxis(x, 1, 2)[:, :t]
         return crop(dq), crop(dk), crop(dv)
 
