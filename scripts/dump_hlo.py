@@ -17,7 +17,8 @@ def main():
     from wav2vec_heart_sounds_tpu.models.classifier import ClassifierConfig
     from wav2vec_heart_sounds_tpu.train.classifier import SupervisedTrainer
 
-    fs, win, batch = 16000, 64000, 64
+    fs, win = 16000, 64000
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     cfg = ClassifierConfig(num_classes=2, num_channels=1, head_hidden=(512, 512, 512),
                            random_init=True, fs=fs)
     model, variables = build_classifier(cfg, jax.random.key(0), win)
