@@ -91,3 +91,20 @@ def test_cached_compile_signature_fallback(tmp_path):
     c = cached_compile(f, xi, cache_dir=tmp_path)
     np.testing.assert_allclose(float(c(xi)), 30.0)
     np.testing.assert_allclose(float(c(xf)), 56.0)   # different shape AND dtype
+
+
+def test_compiler_options_parse_and_key(monkeypatch):
+    """W2VHS_COMPILER_OPTIONS parses k=v lists (whitespace-tolerant, non-pairs dropped)
+    and participates in the cache key, so an option change never reuses a stale blob."""
+    from wav2vec_heart_sounds_tpu.utils import aot
+
+    monkeypatch.delenv("W2VHS_COMPILER_OPTIONS", raising=False)
+    assert aot._compiler_options() is None
+    f = jax.jit(lambda x: x * 2)
+    hlo = f.lower(jnp.arange(8.0)).as_text()
+    kind = getattr(jax.devices()[0], "device_kind", "cpu")
+    k_plain = _key(hlo, "cpu", kind)
+    monkeypatch.setenv("W2VHS_COMPILER_OPTIONS",
+                       "xla_tpu_scoped_vmem_limit_kib=65536, noise")
+    assert aot._compiler_options() == {"xla_tpu_scoped_vmem_limit_kib": "65536"}
+    assert _key(hlo, "cpu", kind) != k_plain

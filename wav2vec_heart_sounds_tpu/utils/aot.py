@@ -89,6 +89,20 @@ def _kernel_source_digest() -> bytes:
     return h.digest()
 
 
+def _compiler_options() -> dict[str, str] | None:
+    """XLA compiler-option overrides from ``W2VHS_COMPILER_OPTIONS`` (``k=v,k=v``).
+
+    TPU-backend flags (e.g. ``xla_tpu_scoped_vmem_limit_kib``) cannot be passed via
+    ``XLA_FLAGS`` here: the client-side parser rejects them (compilation happens in the
+    remote TPU compile service), but per-compile ``compiler_options`` ride the PJRT
+    compile request — probe-verified: an absurd scoped-vmem value fails the *remote*
+    compile. Used for measured A/Bs of compiler scheduling knobs."""
+    raw = os.environ.get("W2VHS_COMPILER_OPTIONS", "").strip()
+    if not raw:
+        return None
+    return dict(kv.strip().split("=", 1) for kv in raw.split(",") if "=" in kv)
+
+
 def _key(hlo_text: str, backend: str, device_kind: str) -> str:
     import jax
 
@@ -96,6 +110,7 @@ def _key(hlo_text: str, backend: str, device_kind: str) -> str:
     h.update(jax.__version__.encode())
     h.update(backend.encode())
     h.update(device_kind.encode())
+    h.update(repr(sorted((_compiler_options() or {}).items())).encode())
     h.update(_kernel_source_digest())
     h.update(_canonical_text(hlo_text).encode())
     return h.hexdigest()[:32]
@@ -230,7 +245,7 @@ def cached_compile(jitted: Callable, *args: Any, cache_dir: Path | None = None,
                         ) from exc
                     if verbose:
                         print("[aot] cached executable failed; recompiling")
-                    state["fn"] = lowered.compile()
+                    state["fn"] = lowered.compile(compiler_options=_compiler_options())
                     return state["fn"](*a, **k)
 
             return with_sig_fallback(call)
@@ -238,7 +253,7 @@ def cached_compile(jitted: Callable, *args: Any, cache_dir: Path | None = None,
             if verbose:
                 print(f"[aot] reload failed ({type(exc).__name__}); recompiling")
 
-    compiled = lowered.compile()
+    compiled = lowered.compile(compiler_options=_compiler_options())
     try:
         from jax.experimental import serialize_executable as se
 
