@@ -41,11 +41,14 @@ def _raw_batch(batch_size: int, fs_in: int, seconds: float, seed: int = 0) -> np
     return batch.astype(np.float32)
 
 
-def run_gen_bench(batch_size: int = 16, steps: int = 3) -> dict:
+def run_gen_bench(batch_size: int = 16, steps: int = 10) -> dict:
     """DiffWave fast-sampling throughput: generated audio-seconds per wall second.
 
     B=16 is the measured TPU optimum (round-3 sweep, docs/artifacts/r3/chain.log:
-    B=8 -> 72.4, B=16 -> 102.9, B=32 -> 39.9 audio-s/s memory cliff)."""
+    B=8 -> 72.4, B=16 -> 102.9, B=32 -> 39.9 audio-s/s memory cliff). steps=10 keeps the
+    timed window ~10 s: the 3-call window used through round 4 was 1.3-3.3 s, inside the
+    relay's single-stall magnitude, which produced the r3->r4 sampling swings
+    (PERF.md round 5)."""
     import jax
     import jax.numpy as jnp
 
@@ -86,9 +89,11 @@ def run_gen_bench(batch_size: int = 16, steps: int = 3) -> dict:
     }
 
 
-def run_wavegrad_sample_bench(batch_size: int = 8, steps: int = 3,
+def run_wavegrad_sample_bench(batch_size: int = 8, steps: int = 10,
                               num_steps: int = 6, frames: int = 80) -> dict:
-    """WaveGrad sampling throughput (subsampled reverse schedule, WG-6 by default)."""
+    """WaveGrad sampling throughput (subsampled reverse schedule, WG-6 by default).
+
+    steps=10 (was 3 through round 4) — same stall-proofing rationale as run_gen_bench."""
     import jax
     import jax.numpy as jnp
 

@@ -196,9 +196,12 @@ def test_time_stretch_golden_values():
     x[500::800] += 2.0
     y = dsp.time_stretch(x.astype(np.float64), fs, 1.25)
     assert len(y) == 3200            # librosa convention: rate > 1 shortens
-    assert np.mean(np.abs(y)) == pytest.approx(0.6377873820874029, abs=1e-9)
-    for i, want in [(64, -1.2648731992412097), (1000, -1.001800175902185),
-                    (2500, 0.08209151544986788)]:
+    # Values re-frozen in round 5 when identity phase locking landed (the free-running
+    # accumulator lost ~0.46x tone amplitude at rate < 1 — see time_stretch docstring and
+    # tests/test_dsp_invariants.py, which pin the energy invariant itself).
+    assert np.mean(np.abs(y)) == pytest.approx(0.6293839378308198, abs=1e-9)
+    for i, want in [(64, -1.2648731992412097), (1000, -1.001800175902181),
+                    (2500, 0.15041013753328364)]:
         assert y[i] == pytest.approx(want, abs=1e-9)
 
 

@@ -82,6 +82,91 @@ def test_flattened_masked_matches_per_leaf_masked(name, monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.fast
+@pytest.mark.parametrize("name", ["sgd", "adam", "adamw"])
+@pytest.mark.parametrize("masked", [False, True])
+def test_packed_master_matches_per_leaf(name, masked, monkeypatch):
+    """The packed-master form (master params resident in opt state, lr folded into the
+    packed domain — the round-5 trainer default) must reproduce the per-leaf optax.masked
+    oracle trajectories exactly, including across a refresh() (best-MCC restore path)."""
+    from wav2vec_heart_sounds_tpu.train.optim import build_master_optimizer
+
+    params = _tree(0)
+    mask = {"a": {"kernel": False, "bias": True}, "b": True} if masked else None
+    lr = 1e-2
+
+    mtx, _ = build_master_optimizer(name, lr, weight_decay=1e-3, trainable=mask,
+                                    max_grad_norm=5.0)
+    monkeypatch.setenv("W2VHS_FLAT_OPT", "0")
+    ltx, _ = build_optimizer(name, lr, weight_decay=1e-3,
+                             trainable=mask if masked else None, max_grad_norm=5.0)
+
+    ms, ls = mtx.init(params), ltx.init(params)
+    p_m, p_l = params, params
+    for step in range(4):
+        grads = _tree(10 + step)
+        p_m, ms = mtx.step(grads, ms, lr, p_m)
+        ul, ls = ltx.update(grads, ls, p_l)
+        p_l = optax.apply_updates(p_l, jax.tree_util.tree_map(lambda u: lr * u, ul))
+        if step == 1:
+            # Simulate the trainer's best-MCC restore: overwrite params out-of-band on
+            # both sides and re-pack the master copy.
+            p_m = p_l = _tree(99)
+            ms = mtx.refresh(ms, p_m)
+        for a, b in zip(jax.tree_util.tree_leaves(p_m), jax.tree_util.tree_leaves(p_l)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    if masked:
+        np.testing.assert_array_equal(np.asarray(p_m["a"]["kernel"]),
+                                      np.asarray(_tree(99)["a"]["kernel"]))
+
+
+@pytest.mark.fast
+def test_row_mask_treedef_mismatch_raises():
+    """A freeze mask whose treedef differs from the params must raise, not silently
+    freeze the wrong rows (advisor r4 finding)."""
+    from wav2vec_heart_sounds_tpu.train.optim import _row_mask
+
+    params = _tree(0)
+    bad_mask = {"a": {"kernel": False, "bias": True}, "c": True}   # wrong key
+    with pytest.raises(Exception):
+        _row_mask(bad_mask, params, 32)
+
+
+@pytest.mark.fast
+@pytest.mark.parametrize("name", ["sgd", "adam"])
+def test_frozen_rows_accumulate_no_decay_state(name):
+    """Coupled-decay optimizers must not inject wd*param into frozen rows' stored
+    momentum/adam moments (advisor r4 finding: packed state must match the per-leaf
+    oracle, not only the emitted updates)."""
+    from wav2vec_heart_sounds_tpu.train.optim import _pack_tree, build_master_optimizer
+
+    params = _tree(0)
+    mask = {"a": {"kernel": False, "bias": True}, "b": True}
+    mtx, _ = build_master_optimizer(name, 1e-2, weight_decay=1e-1, trainable=mask,
+                                    max_grad_norm=None)
+    state = mtx.init(params)
+    p = params
+    for step in range(3):
+        p, state = mtx.step(_tree(10 + step), state, 1e-2, p)
+    inner_state = state[0]
+    moments = [l for l in jax.tree_util.tree_leaves(inner_state)
+               if hasattr(l, "shape") and l.ndim == 2]
+    assert moments, "expected packed momentum/adam state"
+    # Row ranges follow tree_leaves order (dict keys sorted: a/bias, a/kernel, b).
+    row = 0
+    frozen_rows = []
+    for flag, leaf in zip(jax.tree_util.tree_leaves(mask),
+                          jax.tree_util.tree_leaves(params)):
+        rows = -(-leaf.size // 1024)
+        if not flag:
+            frozen_rows.extend(range(row, row + rows))
+        row += rows
+    assert frozen_rows
+    for m in moments:
+        for r in frozen_rows:
+            assert float(jnp.abs(m[r]).max()) == 0.0
+
+
 def test_step_lr_schedule():
     sched = lr_schedule("sgd", 1e-3)
     assert sched(0) == pytest.approx(1e-3)

@@ -308,3 +308,22 @@ def test_fused_qkv_matches_default(monkeypatch):
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-5, rtol=1e-5)
         monkeypatch.delenv("W2VHS_QKVFUSE", raising=False)
+
+
+@pytest.mark.fast
+def test_posconv_patchdot_matches_grouped_conv(monkeypatch):
+    """The gated W2VHS_POSCONV=patchdot lowering (round-5 pos_conv A/B) must be a pure
+    program-shape change: same params, same output as XLA's grouped conv."""
+    from wav2vec_heart_sounds_tpu.models.wav2vec2 import PositionalConvEmbedding
+
+    cfg = Wav2Vec2Config.tiny()          # pos_conv kernel 16, groups 2
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 23, cfg.hidden_size)),
+                    jnp.float32)
+    mod = PositionalConvEmbedding(cfg)
+    monkeypatch.delenv("W2VHS_POSCONV", raising=False)
+    variables = mod.init(jax.random.key(0), x)
+    y_ref = mod.apply(variables, x)
+    monkeypatch.setenv("W2VHS_POSCONV", "patchdot")
+    y_alt = mod.apply(variables, x)
+    assert y_alt.shape == y_ref.shape
+    np.testing.assert_allclose(np.asarray(y_alt), np.asarray(y_ref), atol=2e-6)

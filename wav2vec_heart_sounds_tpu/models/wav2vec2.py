@@ -21,6 +21,7 @@ scheme so ``--random-init`` runs are distribution-equivalent.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import Any
 
@@ -500,6 +501,53 @@ class FeatureProjection(nn.Module):
         return _dropout(self, x, self.config.feat_proj_dropout, deterministic)
 
 
+class _PatchDotGroupedConv(nn.Module):
+    """Grouped conv lowered as per-group patch-matmuls — gated A/B vs XLA's grouped conv.
+
+    Same param names/shapes as ``nn.Conv(feature_group_count=g)`` (kernel ``[k, C/g, C]``,
+    bias ``[C]``) so checkpoints are interchangeable. Each group's conv becomes one dot
+    ``[B*T, k*(C/g)] @ [k*(C/g), C/g]`` (contraction depth k*C/g, e.g. 6144 for
+    wav2vec2-base) over patches extracted per group, sequenced with ``lax.map`` so only
+    one group's patch tensor is live at a time. Arithmetic predicts this LOSES to XLA's
+    grouped conv: the per-group N=C/g=48 output pads to the 128-lane MXU tile (2.67x
+    padded-FLOP floor ≈ 2.4 ms fwd at B=96 vs XLA's measured 1.8 ms) plus the patch
+    materialisation traffic — the gate exists to close the round-4 verdict's pos_conv
+    lever with a measured A/B rather than arithmetic alone.
+    """
+    features: int
+    kernel: int
+    groups: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k, g, c = self.kernel, self.groups, self.features
+        ci = c // g
+        kernel = self.param("kernel", nn.initializers.lecun_normal(), (k, ci, c),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        b, t, _ = x.shape
+        xp = jnp.pad(x.astype(self.dtype), ((0, 0), (k // 2, k // 2), (0, 0)))
+        # [g, B, Tp, ci] group-major so lax.map sequences one group at a time.
+        xg = jnp.moveaxis(xp.reshape(b, xp.shape[1], g, ci), 2, 0)
+        wg = jnp.moveaxis(kernel.reshape(k, ci, g, ci), 2, 0)       # [g, k, ci, ci]
+
+        def one_group(args):
+            xi, wi = args                                           # [B, Tp, ci], [k, ci, ci]
+            patches = jax.lax.conv_general_dilated_patches(
+                xi, (k,), (1,), "VALID", dimension_numbers=("NWC", "WIO", "NWC"))
+            # Patch channels are channel-major (row = ci_in * k + tap), so the weight
+            # rows must follow the same order.
+            w2 = wi.transpose(1, 0, 2).reshape(k * ci, ci)
+            return jax.lax.dot_general(
+                patches, w2.astype(self.dtype),
+                (((2,), (0,)), ((), ())))                           # [B, T_out, ci]
+
+        out = jax.lax.map(one_group, (xg, wg.astype(self.dtype)))   # [g, B, T_out, ci]
+        out = jnp.moveaxis(out, 0, 2).reshape(b, -1, c)[:, :t + (k % 2 == 0)]
+        return out + bias.astype(self.dtype)
+
+
 class PositionalConvEmbedding(nn.Module):
     """Grouped conv positional embedding (kernel 128, groups 16, same-ish padding)."""
     config: Wav2Vec2Config
@@ -509,9 +557,13 @@ class PositionalConvEmbedding(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         cfg = self.config
         k = cfg.pos_conv_kernel
-        h = nn.Conv(cfg.hidden_size, kernel_size=(k,), padding=[(k // 2, k // 2)],
-                    feature_group_count=cfg.pos_conv_groups, dtype=self.dtype,
-                    name="conv")(x.astype(self.dtype))
+        if os.environ.get("W2VHS_POSCONV") == "patchdot":
+            h = _PatchDotGroupedConv(cfg.hidden_size, k, cfg.pos_conv_groups,
+                                     dtype=self.dtype, name="conv")(x)
+        else:
+            h = nn.Conv(cfg.hidden_size, kernel_size=(k,), padding=[(k // 2, k // 2)],
+                        feature_group_count=cfg.pos_conv_groups, dtype=self.dtype,
+                        name="conv")(x.astype(self.dtype))
         if k % 2 == 0:                       # even kernel: drop the trailing extra frame
             h = h[:, :-1, :]
         return nn.gelu(h, approximate=False)

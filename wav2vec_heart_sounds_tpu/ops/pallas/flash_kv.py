@@ -194,7 +194,7 @@ def _specs(qb, tp, d):
     return qspec, whole
 
 
-def _flash_kv_fwd(q, k, v, q_block, kv_block, interpret, bf16_dots):
+def _flash_kv_fwd(q, k, v, q_block, kv_block, interpret, bf16_dots, split_bwd):
     b, t, h, d = q.shape
     scale = 1.0 / float(np.sqrt(d))
     qb = min(q_block, max(128, -(-t // 128) * 128))
@@ -222,7 +222,7 @@ def _flash_kv_fwd(q, k, v, q_block, kv_block, interpret, bf16_dots):
     return o, (q, k, v, o, lse)
 
 
-def _flash_kv_bwd(q_block, kv_block, interpret, bf16_dots, residuals, g):
+def _flash_kv_bwd(q_block, kv_block, interpret, bf16_dots, split_bwd, residuals, g):
     q, k, v, o, lse = residuals
     b, t, h, d = q.shape
     scale = 1.0 / float(np.sqrt(d))
@@ -249,7 +249,7 @@ def _flash_kv_bwd(q_block, kv_block, interpret, bf16_dots, residuals, g):
     qwhole = pl.BlockSpec((1, 1, tp, d), lambda b_, h_, i: (b_, h_, 0, 0),
                           memory_space=pltpu.VMEM)
 
-    if os.environ.get("W2VHS_FLASHKV_SPLIT_BWD") != "1":
+    if not split_bwd:
         # Fused backward (default): 5 score-shaped dots per block pair instead of 7.
         # dq lives in a VMEM-resident block revisited across the innermost (kv) grid
         # dim — written to HBM once per (b, h), exactly like the split dq kernel.
@@ -297,11 +297,11 @@ def _flash_kv_bwd(q_block, kv_block, interpret, bf16_dots, residuals, g):
     return crop(dq), crop(dk), crop(dv)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def _flash_kv(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               q_block: int, kv_block: int, interpret: bool,
-              bf16_dots: bool) -> jnp.ndarray:
-    return _flash_kv_fwd(q, k, v, q_block, kv_block, interpret, bf16_dots)[0]
+              bf16_dots: bool, split_bwd: bool) -> jnp.ndarray:
+    return _flash_kv_fwd(q, k, v, q_block, kv_block, interpret, bf16_dots, split_bwd)[0]
 
 
 _flash_kv.defvjp(_flash_kv_fwd, _flash_kv_bwd)
@@ -322,6 +322,10 @@ def flash_attention_kv(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     dt = q.dtype
     bf16_dots = (dt == jnp.bfloat16
                  and os.environ.get("W2VHS_FLASHKV_BF16", "0") == "1")
+    # Read at call (trace) time and thread through as a static argument so the flag is
+    # part of the traced signature — a jitted caller re-traces rather than silently
+    # keeping the old backward if the env var changes (advisor r4 finding).
+    split_bwd = os.environ.get("W2VHS_FLASHKV_SPLIT_BWD") == "1"
     if dt == jnp.bfloat16:
         q, k, v = (x.astype(jnp.float32) for x in (q, k, v))
-    return _flash_kv(q, k, v, q_block, kv_block, interpret, bf16_dots).astype(dt)
+    return _flash_kv(q, k, v, q_block, kv_block, interpret, bf16_dots, split_bwd).astype(dt)

@@ -36,7 +36,7 @@ from .losses import (
     init_contrastive_focal,
 )
 from .metrics import ConfusionMatrix
-from .optim import build_optimizer
+from .optim import build_master_optimizer, build_optimizer
 
 
 @dataclass
@@ -88,7 +88,13 @@ class SupervisedTrainer:
             enc_mask = trainable_mask(params["params"], classifier_config)
             mask = {"model": enc_mask,
                     "loss": jax.tree_util.tree_map(lambda _: True, loss_params)}
-        self.tx, self.schedule = build_optimizer(
+        # Packed-master default: f32 master params live inside the optimizer state, so
+        # the per-step param pack + per-leaf apply_updates vanish from the train step
+        # (PERF.md round-5 optimizer lever). W2VHS_PACKED_MASTER=0 restores the optax-API
+        # packed form for A/B; both are equivalence-pinned to the per-leaf oracle.
+        self._packed_master = os.environ.get("W2VHS_PACKED_MASTER", "1") != "0"
+        build = build_master_optimizer if self._packed_master else build_optimizer
+        self.tx, self.schedule = build(
             optimizer_name, lr, weight_decay, trainable=mask, max_grad_norm=5.0)
 
         train_tree = {"model": params["params"], "loss": loss_params}
@@ -193,9 +199,14 @@ class SupervisedTrainer:
 
         train_tree = {"model": params, "loss": loss_params}
         (loss, logits), grads = jax.value_and_grad(loss_fn, has_aux=True)(train_tree)
-        updates, opt_state = self.tx.update(grads, opt_state, train_tree)
-        updates = jax.tree_util.tree_map(lambda u: lr * u, updates)
-        train_tree = optax.apply_updates(train_tree, updates)
+        if self._packed_master:
+            # lr, the parameter add, and the momentum update all fuse in the packed
+            # domain; the unpack emits the new parameter tree directly.
+            train_tree, opt_state = self.tx.step(grads, opt_state, lr, train_tree)
+        else:
+            updates, opt_state = self.tx.update(grads, opt_state, train_tree)
+            updates = jax.tree_util.tree_map(lambda u: lr * u, updates)
+            train_tree = optax.apply_updates(train_tree, updates)
         preds = jnp.argmax(logits, axis=1)
         return train_tree["model"], train_tree["loss"], opt_state, loss, preds
 
@@ -299,6 +310,14 @@ class SupervisedTrainer:
         if valid_batcher is not None and best_params is not None:
             self.state.params = replicate(
                 jax.tree_util.tree_map(jnp.asarray, best_params), self.mesh)
+            if self._packed_master:
+                # The packed f32 master inside opt_state must follow the restore, or the
+                # next fit (synthetic runner: one trainer across stages) would silently
+                # train from the pre-restore weights. Momentum/adam state is kept — the
+                # reference's torch optimizer likewise persists across the restore.
+                self.state.opt_state = self.tx.refresh(
+                    self.state.opt_state,
+                    {"model": self.state.params, "loss": self.state.loss_params})
         return best_mcc
 
     @property

@@ -95,9 +95,16 @@ class GenerativeTrainer:
     def __init__(self, model, variables, loss_strategy: Callable, model_dir: str, *,
                  lr: float = 2e-4, max_grad_norm: float | None = 1.0,
                  sampler=None, sample_every: int = 10, log_dir: str | None = None,
-                 seed: int = 0, log: Callable[[str], None] = print):
+                 seed: int = 0, log: Callable[[str], None] = print, mesh=None):
         self.model = model
+        self.mesh = mesh
         self.params = variables["params"]
+        if mesh is not None:
+            # Data-parallel generative training: params replicated, batch sharded over
+            # ``dp``; XLA inserts the gradient psum (same scheme as SupervisedTrainer).
+            from ..parallel.mesh import replicate
+
+            self.params = replicate(self.params, mesh)
         self.loss_strategy = loss_strategy
         self.model_dir = model_dir
         self.sampler = sampler
@@ -114,6 +121,10 @@ class GenerativeTrainer:
         clip = [optax.clip_by_global_norm(max_grad_norm)] if max_grad_norm else []
         self.tx = optax.chain(*clip, optax.adam(lr))
         self.opt_state = self.tx.init(self.params)
+        if mesh is not None:
+            from ..parallel.mesh import replicate
+
+            self.opt_state = replicate(self.opt_state, mesh)
 
         def train_step(params, opt_state, batch, key):
             loss, grads = jax.value_and_grad(
@@ -127,7 +138,7 @@ class GenerativeTrainer:
     def train_step(self, batch: dict) -> float:
         self.key, sub = jax.random.split(self.key)
         self.params, self.opt_state, loss = self._train_step(
-            self.params, self.opt_state, _device(batch), sub)
+            self.params, self.opt_state, _device(batch, self.mesh), sub)
         self.step += 1
         return float(loss)
 
@@ -135,7 +146,7 @@ class GenerativeTrainer:
         total, count = 0.0, 0
         for i, batch in enumerate(batcher):
             self.key, sub = jax.random.split(self.key)
-            total += float(self._loss(self.params, _device(batch), sub))
+            total += float(self._loss(self.params, _device(batch, self.mesh), sub))
             count += 1
             if max_batches is not None and i + 1 >= max_batches:
                 break
@@ -217,5 +228,10 @@ class GenerativeTrainer:
         return True
 
 
-def _device(batch: dict) -> dict:
+def _device(batch: dict, mesh=None) -> dict:
+    if mesh is not None:
+        from ..parallel.mesh import maybe_shard_batch
+
+        return {k: maybe_shard_batch(np.asarray(v), mesh)
+                for k, v in batch.items() if k != "patient"}
     return {k: jnp.asarray(v) for k, v in batch.items() if k != "patient"}
