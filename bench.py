@@ -385,6 +385,29 @@ def run_bench(batch_size: int = 96, fs: int = 16000, window_s: float = 4.0,
         # repeated identical pure computation (observed through the axon tunnel).
         return raw_dev * (1.0 + 1e-6 * jax.random.uniform(key, ()))
 
+    # Fused bench chain: per-program launch overhead through the relay is real headline
+    # time (mode=preproc measures ~36 ms/step of launch train for <1 ms of device work),
+    # so the per-step perturbation + resample + despike fuse into one program and the
+    # IIR cascade + normalise + crop into a second — 2 launches instead of 5.
+    # W2VHS_PREPROC_PAIRED=0 restores the 5-launch un-fused chain for A/B.
+    from wav2vec_heart_sounds_tpu.signal.jaxproc import _pcg_head, _pcg_tail
+    from wav2vec_heart_sounds_tpu.utils.aot import aot_jit
+
+    def _bench_head(x, key, fs_in_, fs_):
+        return _pcg_head(x * (1.0 + 1e-6 * jax.random.uniform(key, ())), fs_in_, fs_)
+
+    def _bench_tail(x, fs_, n):
+        return _pcg_tail(x, fs_)[:, :n]
+
+    bench_head = aot_jit(_bench_head, static_argnames=("fs_in_", "fs_"))
+    bench_tail = aot_jit(_bench_tail, static_argnames=("fs_", "n"))
+    if os.environ.get("W2VHS_PREPROC_PAIRED", "1") != "0":
+        def prep_fresh(key):
+            return bench_tail(bench_head(raw_dev, key, fs_in, fs), fs, win_len)
+    else:
+        def prep_fresh(key):
+            return prep(fresh_input(key))
+
     if mode == "real":
         # The REAL training loop: Batcher assembly -> int16 wire -> threaded-prefetch
         # transfer -> jitted train step, exactly as experiments/*.py run it.
@@ -456,12 +479,12 @@ def run_bench(batch_size: int = 96, fs: int = 16000, window_s: float = 4.0,
 
     if mode == "preproc":
         def run_step(key):
-            return prep(fresh_input(key))
+            return prep_fresh(key)
     elif mode == "infer":
         fwd = jax.jit(lambda v, x: model.apply(v, x))
 
         def run_step(key):
-            return fwd(trainer.variables, prep(fresh_input(key)))
+            return fwd(trainer.variables, prep_fresh(key))
     else:  # train: preprocess chained into the train-step jit, all device-resident
         if os.environ.get("W2VHS_AOT") != "0":
             # AOT executable cache: the first invocation pays the remote compile and
@@ -471,7 +494,7 @@ def run_bench(batch_size: int = 96, fs: int = 16000, window_s: float = 4.0,
         state = trainer.state
 
         def run_step(key):
-            waves = prep(fresh_input(key))
+            waves = prep_fresh(key)
             (state.params, state.loss_params, state.opt_state, loss, _) = trainer._train_step(
                 state.params, state.loss_params, state.opt_state, waves, labels, valid,
                 lr, key)

@@ -58,14 +58,41 @@ def _as_batched(x: jnp.ndarray) -> tuple[jnp.ndarray, bool]:
     return x, False
 
 
+# Paired stages (round-5 dispatch-overhead lever): every program launch through the relay
+# carries fixed host+runtime cost (mode=preproc measures ~36 ms/step for <1 ms of device
+# work across ~6 launches), so halving the launch count is worth real headline ms. The
+# pathological compile was all FOUR stages in one jit (conv + while_loop + scan, round-1
+# PERF note); the pairs below each compile fine. ``W2VHS_PREPROC_PAIRED=0`` restores the
+# four individually-jitted stages.
+
+
+def _pcg_head(x: jnp.ndarray, fs_in, fs_out) -> jnp.ndarray:
+    x = _resample.resample(x, fs_in, fs_out)
+    return _despike.remove_spikes.__wrapped__(x, fs_out)
+
+
+def _pcg_tail(x: jnp.ndarray, fs) -> jnp.ndarray:
+    return _norm.abs_max_normalise(_iir.bandpass_cascade(x, fs, *PCG_BAND, order=2))
+
+
+pcg_head = _aot_jit(_pcg_head, static_argnames=("fs_in", "fs_out"))
+pcg_tail = _aot_jit(_pcg_tail, static_argnames=("fs",))
+
+
 def preprocess_pcg(x: jnp.ndarray, fs_in: float, fs_out: float, *,
                    despike: bool = True) -> jnp.ndarray:
     """PCG chain on ``[B, T]``: resample -> despike -> 25-450 Hz cascade -> abs-max.
 
-    Composed of individually-jitted stages (all intermediates stay on device); wrap in an
-    outer ``jax.jit`` for a single fused program.
+    Composed of jitted stages (all intermediates stay on device); wrap in an outer
+    ``jax.jit`` for a single fused program. Stages run pairwise by default (two launches
+    per batch instead of four — see the dispatch-overhead note above).
     """
+    import os
+
     x, squeeze = _as_batched(x)
+    if despike and os.environ.get("W2VHS_PREPROC_PAIRED", "1") != "0":
+        x = pcg_tail(pcg_head(x, fs_in, fs_out), fs_out)
+        return x[0] if squeeze else x
     x = resample(x, fs_in, fs_out)
     if despike:
         x = remove_spikes(x, fs_out)
@@ -74,10 +101,22 @@ def preprocess_pcg(x: jnp.ndarray, fs_in: float, fs_out: float, *,
     return x[0] if squeeze else x
 
 
+def _ecg_tail(x: jnp.ndarray, fs) -> jnp.ndarray:
+    return _norm.abs_max_normalise(_iir.bandpass_cascade(x, fs, *ECG_BAND, order=2))
+
+
+ecg_tail = _aot_jit(_ecg_tail, static_argnames=("fs",))
+
+
 def preprocess_ecg(x: jnp.ndarray, fs_in: float, fs_out: float) -> jnp.ndarray:
     """ECG chain on ``[B, T]``: resample -> 2-40 Hz cascade -> abs-max."""
+    import os
+
     x, squeeze = _as_batched(x)
     x = resample(x, fs_in, fs_out)
-    x = bandpass_cascade(x, fs_out, *ECG_BAND, order=2)
-    x = abs_max_normalise(x)
+    if os.environ.get("W2VHS_PREPROC_PAIRED", "1") != "0":
+        x = ecg_tail(x, fs_out)
+    else:
+        x = bandpass_cascade(x, fs_out, *ECG_BAND, order=2)
+        x = abs_max_normalise(x)
     return x[0] if squeeze else x

@@ -90,9 +90,15 @@ class SupervisedTrainer:
                     "loss": jax.tree_util.tree_map(lambda _: True, loss_params)}
         # Packed-master default: f32 master params live inside the optimizer state, so
         # the per-step param pack + per-leaf apply_updates vanish from the train step
-        # (PERF.md round-5 optimizer lever). W2VHS_PACKED_MASTER=0 restores the optax-API
-        # packed form for A/B; both are equivalence-pinned to the per-leaf oracle.
-        self._packed_master = os.environ.get("W2VHS_PACKED_MASTER", "1") != "0"
+        # (PERF.md round-5 optimizer lever: +4.7 w/s on the headline). Restricted to the
+        # fully-trainable case: the MASKED packed-master program composed with the
+        # flash_kv + sinc Pallas kernels faulted the TPU worker exactly like the round-3
+        # per-leaf chain did (PERF.md round-5 "vest re-fault"), so masked/frozen paths
+        # keep the round-4 measured-clean packed-flattened form. W2VHS_PACKED_MASTER
+        # forces either form for A/B; all forms are equivalence-pinned to the oracle.
+        all_trainable = mask is None or all(jax.tree_util.tree_leaves(mask))
+        forced = os.environ.get("W2VHS_PACKED_MASTER")
+        self._packed_master = (all_trainable if forced is None else forced != "0")
         build = build_master_optimizer if self._packed_master else build_optimizer
         self.tx, self.schedule = build(
             optimizer_name, lr, weight_decay, trainable=mask, max_grad_norm=5.0)
