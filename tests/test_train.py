@@ -105,6 +105,45 @@ def test_trainer_fits_toy_task():
                                        "npv", "precision", "f1", "mcc"}
 
 
+def test_trainer_bf16_params_tracks_f32_trajectory(monkeypatch):
+    """W2VHS_BF16_PARAMS=1 (bf16 live params under the packed f32 master) must keep the
+    parameter dtype bf16 end-to-end and track the f32-param trajectory to bf16 rounding:
+    the master accumulates in f32, so the paths diverge only by the bf16 rounding of the
+    emitted tree and of the gradients, not by lost small updates."""
+    import jax.numpy as jnp
+
+    def run(gate: bool):
+        monkeypatch.setenv("W2VHS_BF16_PARAMS", "1" if gate else "0")
+        monkeypatch.setenv("W2VHS_PACKED_MASTER", "1")
+        model, params, cfg = _tiny_classifier()
+        model = type(model)(cfg, dtype=jnp.bfloat16)
+        trainer = SupervisedTrainer(model, params, optimizer_name="sgd", lr=1e-2,
+                                    log=lambda s: None)
+        x = np.random.RandomState(0).randn(8, 800).astype(np.float32)
+        y = np.arange(8) % 2
+        v = np.ones(8, np.float32)
+        lr = jnp.float32(1e-2)
+        p0 = jax.device_get(trainer.state.params)   # before donation invalidates it
+        p, lp, st = trainer.state.params, trainer.state.loss_params, trainer.state.opt_state
+        for i in range(5):
+            p, lp, st, loss, _ = trainer._train_step(p, lp, st, x, y, v, lr,
+                                                     jax.random.key(42 + i))
+        return trainer, p0, p, float(loss)
+
+    tr_b, p0_b, p_b, loss_b = run(True)
+    tr_f, _, p_f, loss_f = run(False)
+    assert tr_b._bf16_params and not tr_f._bf16_params
+    assert all(l.dtype == jnp.bfloat16 for l in jax.tree_util.tree_leaves(p_b)
+               if jnp.issubdtype(l.dtype, jnp.floating))
+    # Same model/data/keys, bf16 compute both sides: trajectories agree to bf16 rounding.
+    assert abs(loss_b - loss_f) < 5e-2, (loss_b, loss_f)
+    # The master must keep accumulating below bf16 resolution: params still move.
+    moved = sum(float(jnp.abs(a.astype(jnp.float32) - jnp.asarray(b, jnp.float32)).max())
+                for a, b in zip(jax.tree_util.tree_leaves(p_b),
+                                jax.tree_util.tree_leaves(p0_b)))
+    assert np.isfinite(loss_b) and moved > 0.0
+
+
 def test_trainer_feature_loss_path():
     model, params, cfg = _tiny_classifier()
     ds = _toy_dataset(n=16)

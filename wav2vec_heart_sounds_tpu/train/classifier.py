@@ -110,6 +110,25 @@ class SupervisedTrainer:
             opt_state=replicate(self.tx.init(jax.tree_util.tree_map(jnp.asarray, train_tree)),
                                 mesh),
         )
+        # bf16 live parameters under the packed f32 master — default on accelerator
+        # backends (W2VHS_BF16_PARAMS=0 opts out; =1 forces on): the master inside
+        # opt_state keeps full f32 precision (packed above from the f32 init), while the
+        # tree the forward/backward reads is stored bf16. Compute is already bf16
+        # (params cast at use, models/wav2vec2.py), so forward numerics are unchanged to
+        # bf16 rounding; what this buys is bandwidth — the grad tree, the per-step grad
+        # pack read, and the param unpack write all halve. Measured +7-9 w/s on the
+        # headline (interleaved 2x2 A/B: 592.4/589.2 vs 583.1/582.6; PERF.md round-5
+        # lever 3). Packed-master only: the update must accumulate into f32 somewhere,
+        # and here that somewhere is the resident master. CPU stays f32 so the
+        # torch-parity and oracle-equivalence suites keep exact f32 semantics.
+        forced_bf16 = os.environ.get("W2VHS_BF16_PARAMS")
+        self._bf16_params = self._packed_master and (
+            forced_bf16 == "1" if forced_bf16 is not None
+            else jax.default_backend() != "cpu")
+        if self._bf16_params:
+            to_bf16 = lambda t: jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, t)
+            self.state.params = to_bf16(self.state.params)
         step_impl = (self._train_step_impl if batch_transform is None
                      else self._train_step_aug_impl)
         self._train_step = jax.jit(step_impl, donate_argnums=(0, 1, 2))
