@@ -339,7 +339,7 @@ def run_fusion_bench(batch_size: int = 64, steps: int = 10, window_s: float = 4.
 
 
 def run_bench(batch_size: int = 96, fs: int = 16000, window_s: float = 4.0,
-              steps: int = 20, mode: str = "train", fs_in: int = 2000) -> dict:
+              steps: int = 60, mode: str = "train", fs_in: int = 2000) -> dict:
     if mode == "gen":
         return run_gen_bench()
     if mode == "gen-wavegrad":
@@ -1092,9 +1092,17 @@ if __name__ == "__main__":
         print(json.dumps(measure_reference_baseline()))
     else:
         mode = "train"
+        # Timed-window length for train/infer/preproc modes. Default 60 steps (~10 s at
+        # the headline step time): the round-5 chain showed single relay stalls run
+        # seconds-to-minutes, so the previous 20-step (~3.3 s) window sat inside
+        # single-stall magnitude — the same measurement fragility the 3-call sampling
+        # windows had before round 5 lengthened them to 10 calls.
+        steps = 60
         for arg in sys.argv[1:]:
             if arg.startswith("--mode="):
                 mode = arg.split("=", 1)[1]
+            elif arg.startswith("--steps="):
+                steps = int(arg.split("=", 1)[1])
         if not _wait_for_backend():
             print(json.dumps({
                 "metric": "pcg_4s_windows_per_sec_per_chip_e2e", "value": None,
@@ -1103,4 +1111,4 @@ if __name__ == "__main__":
                          "budget; see W2VHS_BENCH_BACKEND_WAIT_S",
             }))
             sys.exit(0)
-        print(json.dumps(run_bench(mode=mode)))
+        print(json.dumps(run_bench(mode=mode, steps=steps)))
