@@ -485,7 +485,35 @@ def run_bench(batch_size: int = 96, fs: int = 16000, window_s: float = 4.0,
 
         def run_step(key):
             return fwd(trainer.variables, prep_fresh(key))
-    else:  # train: preprocess chained into the train-step jit, all device-resident
+    elif os.environ.get("W2VHS_TAIL_IN_TRAIN") == "1":
+        # Launch-count lever (round-5 A/B): fold the preproc tail (IIR cascade +
+        # normalise + crop — a scan, no while_loop) into the train-step program, so each
+        # bench step is TWO launches (head; tail+train) instead of three. The round-1
+        # pathological-compile combination was conv + while_loop + scan in one program;
+        # the despike while_loop stays in the head here, so this pairing is new ground.
+        from wav2vec_heart_sounds_tpu.utils.aot import cached_compile
+
+        state = trainer.state
+
+        def _fused_impl(params, loss_params, opt_state, xh, y, v, lr_, key_):
+            waves = _pcg_tail(xh, fs)[:, :win_len]
+            return trainer._train_step_impl(params, loss_params, opt_state, waves,
+                                            y, v, lr_, key_)
+
+        fused = jax.jit(_fused_impl, donate_argnums=(0, 1, 2, 3))
+        xh_ex = bench_head(raw_dev, jax.random.key(0), fs_in, fs)
+        if os.environ.get("W2VHS_AOT") != "0":
+            fused = cached_compile(fused, state.params, state.loss_params,
+                                   state.opt_state, xh_ex, labels, valid, lr,
+                                   jax.random.key(0))
+
+        def run_step(key):
+            xh = bench_head(raw_dev, key, fs_in, fs)
+            (state.params, state.loss_params, state.opt_state, loss, _) = fused(
+                state.params, state.loss_params, state.opt_state, xh, labels, valid,
+                lr, key)
+            return loss
+    else:  # train: fused-pair preproc launches feeding the train-step executable
         if os.environ.get("W2VHS_AOT") != "0":
             # AOT executable cache: the first invocation pays the remote compile and
             # serializes the result; later fresh processes reload it in seconds (the
