@@ -755,6 +755,31 @@ class EncoderLayer(nn.Module):
         sc1, b1 = _LnParams(name="layer_norm")(cfg.hidden_size)
         x = _resid_tail(self, attn, x, sc1, b1, cfg.hidden_dropout,
                         cfg.layer_norm_eps, self.dtype, deterministic)
+        import os
+
+        if (not deterministic and jax.default_backend() != "cpu"
+                and os.environ.get("W2VHS_NO_FLASH") != "1"
+                and os.environ.get("W2VHS_FFN_MEGA", "1") == "1"):
+            # FFN-sublayer megakernel (round-5 spike -> default): one Pallas program
+            # computes W1 -> GELU -> act-dropout -> W2 -> hidden-dropout -> residual
+            # -> LayerNorm with both weight matrices VMEM-resident (standalone A/B:
+            # 6.07 -> 3.06 ms/layer fwd at B=96 shapes; grads pinned against
+            # masked-XLA autodiff on hardware, scripts/megakernel_spike.py --verify).
+            # Param paths/initializers are identical to the decomposed modules below,
+            # so checkpoints, init RNG streams and HF ports are unchanged.
+            from ..ops.pallas.megakernel import ffn_block
+
+            d = cfg.hidden_size
+            w1m, b1m = _DenseParams(cfg.intermediate_size, name="intermediate_dense")(d)
+            w2m, b2m = _DenseParams(d, name="output_dense")(cfg.intermediate_size)
+            sc2, bi2 = _LnParams(name="final_layer_norm")(d)
+            seed = jax.random.randint(self.make_rng("dropout"), (), 0,
+                                      jnp.iinfo(jnp.int32).max)
+            lead = x.shape[:-1]
+            y = ffn_block(x.reshape(-1, d).astype(self.dtype), w1m, b1m, w2m, b2m,
+                          sc2, bi2, seed, cfg.activation_dropout, cfg.hidden_dropout,
+                          cfg.layer_norm_eps)
+            return y.reshape(*lead, d)
         h = FusedDenseGeluDropout(cfg.intermediate_size, cfg.activation_dropout,
                                   dtype=self.dtype,
                                   name="intermediate_dense")(x, deterministic)
